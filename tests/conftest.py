@@ -1,0 +1,36 @@
+"""Test harness config: force an 8-device virtual CPU platform.
+
+Multi-chip sharding is validated on a virtual CPU mesh (the real environment
+has a single TPU chip); the driver separately dry-runs the multi-chip path.
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize may have force-registered an accelerator
+# plugin and overridden jax_platforms via jax.config — env vars alone are not
+# enough.  Backends initialise lazily, so flipping the config here (before any
+# array op) reliably pins tests to the 8-device virtual CPU platform.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def pytest_sessionstart(session):
+    assert all(d.platform == "cpu" for d in jax.devices()), jax.devices()
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
