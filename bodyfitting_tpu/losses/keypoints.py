@@ -1,0 +1,145 @@
+"""Multi-view 2D keypoint reprojection losses, fully batched over views.
+
+Functional re-design of the reference loss library (smplify/loss.py:45-230):
+where the reference loops over cameras in Python (loss.py:156), these take a
+padded view axis and reduce with confidence/view masks, so the whole
+multi-view loss is one fused XLA computation that ``vmap``s over frames.
+
+Keypoint tensor convention: ``[num_views, K, 3]`` with columns ``(u, v,
+confidence)``; padding views/joints carry confidence 0, which zeroes their
+contribution exactly like the reference's confidence weighting (loss.py:134).
+For SMPL-X the face block must already be in model order (51 inner + 17
+contour), i.e. OpenPose face JSONs get the FACE_MAPPING permutation applied
+at load time (reference smplify/loss.py:20,178).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bodyfitting_tpu.constants import NUM_BODY_KP, NUM_HAND_KP
+from bodyfitting_tpu.ops.camera import perspective_projection
+
+# Body-pose indices (global orient excluded) and signs of the knee/elbow
+# angle prior (reference smplify/loss.py:54-61): left/right elbow z, left/
+# right knee x, signed so that natural bending decreases the penalty.
+_ANGLE_PRIOR_IDXS = jnp.array([55 - 3, 58 - 3, 12 - 3, 15 - 3])
+_ANGLE_PRIOR_SIGNS = jnp.array([1.0, -1.0, -1.0, -1.0])
+
+
+def gmof(x: jax.Array, sigma: float) -> jax.Array:
+    """Geman-McClure robustifier (reference loss.py:45-51)."""
+    x2 = x * x
+    s2 = sigma * sigma
+    return (s2 * x2) / (s2 + x2)
+
+
+def reprojection_loss(
+    cord: jax.Array, cord_gt: jax.Array, conf: jax.Array,
+    scale_coeff: float, sigma: float,
+) -> jax.Array:
+    """Confidence-weighted robust 2D error, summed over joints.
+
+    cord/cord_gt: ``[..., K, 2]``; conf: ``[..., K]``.  Matches reference
+    loss.py:132-136: ``sum_k conf_k^2 * sum_xy gmof((gt-pred)/scale)``.
+    """
+    err = gmof((cord_gt - cord) / scale_coeff, sigma).sum(axis=-1)
+    return (conf * conf * err).sum(axis=-1)
+
+
+def angle_prior(body_pose: jax.Array) -> jax.Array:
+    """Exponential penalty on unnatural knee/elbow bending (loss.py:54-61)."""
+    sel = body_pose[..., _ANGLE_PRIOR_IDXS] * _ANGLE_PRIOR_SIGNS
+    return jnp.exp(sel) ** 2
+
+
+def multiview_keypoint_loss(
+    w2cs: jax.Array,
+    Ks: jax.Array,
+    keypoints: jax.Array,
+    view_mask: jax.Array,
+    model_joints: jax.Array,
+    body_pose69: jax.Array,
+    betas: jax.Array,
+    pose_prior_fn,
+    *,
+    imsize: float = 512.0,
+    sigma: float = 100.0,
+    pose_prior_weight: float = 4.78,
+    angle_prior_weight: float = 15.2,
+    shape_prior_weight: float = 5.0,
+    use_hand_face: bool = False,
+) -> tuple[jax.Array, dict]:
+    """Total multi-view keypoint objective for one frame.
+
+    Args:
+      w2cs: ``[Vw, 4, 4]`` world-to-camera transforms.
+      Ks: ``[Vw, 3, 3]`` intrinsics.
+      keypoints: ``[Vw, K, 3]`` (u, v, conf); K = 25, or 135 with hands+face.
+      view_mask: ``[Vw]`` 1.0 for real views, 0.0 for padding.  The per-view
+        sums are divided by the *total* view count, like the reference's
+        ``/ len(use_frames)`` (loss.py:197).
+      model_joints: ``[J, 3]`` posed joints, first 25 in OpenPose body order,
+        then 21+21 hand and 68 face keypoints when ``use_hand_face``.
+      body_pose69: ``[69]`` body pose; SMPL-X's 63 must be zero-padded to 69
+        by the caller's wrapper (reference loss.py:207).
+      betas: ``[S]`` shape coefficients.
+      pose_prior_fn: callable ``[69] -> scalar`` negative log-likelihood.
+
+    Returns ``(scalar_loss, dict_of_terms)``.
+    """
+    scale_coeff = imsize / 1024.0
+    num_views = w2cs.shape[0]
+
+    def per_view(w2c, K, kp):
+        proj = perspective_projection(
+            model_joints[None], w2c[None, :3, :3], w2c[None, :3, 3], K[None]
+        )[0]
+        gt, conf = kp[..., :2], kp[..., 2]
+        nb = NUM_BODY_KP
+        body = reprojection_loss(
+            proj[:nb], gt[:nb], conf[:nb], scale_coeff, sigma
+        )
+        if not use_hand_face:
+            return body, jnp.zeros(()), jnp.zeros(())
+        nh = NUM_HAND_KP
+        lh = reprojection_loss(
+            proj[nb:nb + nh], gt[nb:nb + nh], conf[nb:nb + nh],
+            scale_coeff, sigma,
+        )
+        rh = reprojection_loss(
+            proj[nb + nh:nb + 2 * nh], gt[nb + nh:nb + 2 * nh],
+            conf[nb + nh:nb + 2 * nh], scale_coeff, sigma,
+        )
+        face = reprojection_loss(
+            proj[nb + 2 * nh:], gt[nb + 2 * nh:], conf[nb + 2 * nh:],
+            scale_coeff, sigma,
+        )
+        return body, lh + rh, face
+
+    body_l, hand_l, face_l = jax.vmap(per_view)(w2cs, Ks, keypoints)
+    body_loss = jnp.sum(body_l * view_mask) / num_views
+    loss_2d = body_loss
+    hand_loss = jnp.sum(hand_l * view_mask) / num_views
+    face_loss = jnp.sum(face_l * view_mask) / num_views
+    if use_hand_face:
+        loss_2d = loss_2d + hand_loss + face_loss
+
+    pose_prior_loss = (pose_prior_weight ** 2) * pose_prior_fn(body_pose69)
+    angle_prior_loss = (angle_prior_weight ** 2) * angle_prior(
+        body_pose69
+    ).sum(axis=-1)
+    shape_prior_loss = (shape_prior_weight ** 2) * jnp.sum(betas ** 2, axis=-1)
+
+    total = loss_2d + pose_prior_loss + angle_prior_loss + shape_prior_loss
+    terms = {
+        "reprojection_loss": loss_2d,
+        "body_loss": body_loss,
+        "hand_loss": hand_loss,
+        "face_loss": face_loss,
+        "pose_prior_loss": pose_prior_loss,
+        "angle_prior_loss": angle_prior_loss,
+        "shape_prior_loss": shape_prior_loss,
+    }
+    return total, terms

@@ -1,0 +1,227 @@
+"""Loss-library tests, including differential tests vs the reference math
+re-implemented with torch-free numpy loops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bodyfitting_tpu import losses
+from bodyfitting_tpu.losses import keypoints as kp
+from bodyfitting_tpu.losses import priors
+
+
+def test_gmof_matches_formula(rng):
+    x = jnp.asarray(rng.normal(size=(7, 2)) * 50, jnp.float32)
+    got = np.asarray(kp.gmof(x, 100.0))
+    xn = np.asarray(x, np.float64)
+    want = (100.0 ** 2 * xn ** 2) / (100.0 ** 2 + xn ** 2)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_reprojection_loss_conf_weighting(rng):
+    cord = jnp.zeros((5, 2))
+    gt = jnp.asarray(rng.normal(size=(5, 2)) * 10, jnp.float32)
+    conf = jnp.array([1.0, 0.5, 0.0, 2.0, 1.0])
+    got = float(kp.reprojection_loss(cord, gt, conf, 0.5, 100.0))
+    want = 0.0
+    for k in range(5):
+        err = np.asarray(kp.gmof(gt[k] / 0.5, 100.0)).sum()
+        want += float(conf[k]) ** 2 * err
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_angle_prior_indices_and_signs():
+    pose = jnp.zeros((69,))
+    base = np.asarray(kp.angle_prior(pose))
+    np.testing.assert_allclose(base, np.ones(4), atol=1e-6)
+    # bending the left elbow (idx 52) positively increases the penalty
+    p2 = pose.at[52].set(1.0)
+    assert np.asarray(kp.angle_prior(p2))[0] > 1.0
+    # natural (negative) bending decreases it
+    p3 = pose.at[52].set(-1.0)
+    assert np.asarray(kp.angle_prior(p3))[0] < 1.0
+    # knee sign is flipped: positive bend decreases
+    p4 = pose.at[9].set(1.0)
+    assert np.asarray(kp.angle_prior(p4))[2] < 1.0
+
+
+def test_gmm_prior_differential(rng):
+    prior = priors.synthetic_gmm_prior(num_gaussians=4, dim=12, seed=3)
+    pose = rng.normal(size=(12,)).astype(np.float32)
+    got = float(prior(jnp.asarray(pose)))
+
+    means = np.asarray(prior.means, np.float64)
+    precs = np.asarray(prior.precisions, np.float64)
+    logw = np.asarray(prior.log_nll_weights, np.float64)
+    vals = []
+    for k in range(4):
+        d = pose - means[k]
+        vals.append(0.5 * d @ precs[k] @ d - logw[k])
+    assert got == pytest.approx(min(vals), rel=1e-4)
+
+
+def test_gmm_prior_batch_and_grad(rng):
+    prior = priors.synthetic_gmm_prior(num_gaussians=8, dim=69)
+    poses = jnp.asarray(rng.normal(size=(5, 69)), jnp.float32)
+    nll = jax.jit(prior.__call__)(poses)
+    assert nll.shape == (5,)
+    g = jax.grad(lambda p: prior(p).sum())(poses)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def _toy_multiview_setup(rng, use_hand_face=False):
+    K = jnp.array([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
+    nviews = 3
+    w2cs = jnp.stack([jnp.eye(4)] * nviews)
+    # put the subject 2m in front of every camera
+    w2cs = w2cs.at[:, 2, 3].set(2.0)
+    Ks = jnp.stack([K] * nviews)
+    njoints = 135 if use_hand_face else 25
+    joints = jnp.asarray(rng.normal(scale=0.3, size=(njoints, 3)), jnp.float32)
+    return w2cs, Ks, joints
+
+
+def test_multiview_keypoint_loss_zero_at_perfect_reprojection(rng):
+    w2cs, Ks, joints = _toy_multiview_setup(rng)
+    from bodyfitting_tpu.ops.camera import perspective_projection
+
+    kps = jax.vmap(
+        lambda w2c, K: perspective_projection(
+            joints[None], w2c[None, :3, :3], w2c[None, :3, 3], K[None]
+        )[0]
+    )(w2cs, Ks)
+    kps = jnp.concatenate([kps, jnp.ones_like(kps[..., :1])], -1)
+    total, terms = losses.multiview_keypoint_loss(
+        w2cs, Ks, kps, jnp.ones(3), joints,
+        jnp.zeros(69), jnp.zeros(10), lambda p: jnp.zeros(()),
+    )
+    assert float(terms["reprojection_loss"]) == pytest.approx(0.0, abs=1e-4)
+    # angle prior at zero pose contributes 4 * 15.2^2
+    assert float(total) == pytest.approx(4 * 15.2 ** 2, rel=1e-5)
+
+
+def test_multiview_keypoint_loss_view_masking(rng):
+    w2cs, Ks, joints = _toy_multiview_setup(rng)
+    kps = jnp.asarray(rng.uniform(0, 512, size=(3, 25, 3)), jnp.float32)
+    prior = lambda p: jnp.zeros(())  # noqa: E731
+
+    # garbage keypoints in view 2, masked out == that view zeroed
+    masked, _ = losses.multiview_keypoint_loss(
+        w2cs, Ks, kps, jnp.array([1.0, 1.0, 0.0]), joints,
+        jnp.zeros(69), jnp.zeros(10), prior,
+    )
+    zeroed_kps = kps.at[2, :, 2].set(0.0)  # conf 0 == no contribution
+    zeroed, _ = losses.multiview_keypoint_loss(
+        w2cs, Ks, zeroed_kps, jnp.ones(3), joints,
+        jnp.zeros(69), jnp.zeros(10), prior,
+    )
+    assert float(masked) == pytest.approx(float(zeroed), rel=1e-6)
+
+
+def test_multiview_keypoint_loss_hand_face_blocks(rng):
+    w2cs, Ks, joints = _toy_multiview_setup(rng, use_hand_face=True)
+    kps = jnp.asarray(rng.uniform(0, 512, size=(3, 135, 3)), jnp.float32)
+    total, terms = losses.multiview_keypoint_loss(
+        w2cs, Ks, kps, jnp.ones(3), joints,
+        jnp.zeros(69), jnp.zeros(10), lambda p: jnp.zeros(()),
+        use_hand_face=True,
+    )
+    assert float(terms["hand_loss"]) > 0
+    assert float(terms["face_loss"]) > 0
+    # killing hand+face confidences removes exactly those terms
+    kps2 = kps.at[:, 25:, 2].set(0.0)
+    total2, terms2 = losses.multiview_keypoint_loss(
+        w2cs, Ks, kps2, jnp.ones(3), joints,
+        jnp.zeros(69), jnp.zeros(10), lambda p: jnp.zeros(()),
+        use_hand_face=True,
+    )
+    assert float(terms2["hand_loss"]) == 0
+    assert float(terms2["body_loss"]) == pytest.approx(
+        float(terms["body_loss"])
+    )
+
+
+def test_vertex_normals_unit_sphere(rng):
+    # icosahedron-ish: random points on a sphere, normals point outward
+    pts = rng.normal(size=(64, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    from scipy.spatial import ConvexHull
+
+    hull = ConvexHull(pts)
+    faces = hull.simplices.astype(np.int32)
+    # orient faces outward
+    tris = pts[faces]
+    n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    centers = tris.mean(1)
+    flip = (n * centers).sum(-1) < 0
+    faces[flip] = faces[flip][:, ::-1]
+
+    vn = np.asarray(
+        losses.compute_vertex_normals(jnp.asarray(pts, jnp.float32),
+                                      jnp.asarray(faces))
+    )
+    cos = (vn * pts).sum(-1)
+    assert cos.min() > 0.8  # all normals roughly radial
+
+
+def test_point_cloud_loss_is_frobenius(rng):
+    verts = jnp.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0]])
+    faces = jnp.array([[0, 1, 2]], jnp.int32)
+    pts = jnp.array([[0.2, 0.2, 0.5], [0.3, 0.3, -0.25]])
+    got = float(losses.point_cloud_loss(pts, verts, faces))
+    # distances are 0.5 and 0.25 -> frobenius sqrt(0.25 + 0.0625)
+    assert got == pytest.approx(np.sqrt(0.3125), rel=1e-5)
+
+
+def test_laplacian_smoothness_zero_for_constant_normals():
+    normals = jnp.ones((10, 3))
+    faces = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    assert float(losses.normal_laplacian_smoothness(normals, faces)) == 0.0
+
+
+def test_silhouette_loss_pulls_outward(rng):
+    # square mask 128x128 with a filled square [32, 96)^2
+    H = 128
+    mask = np.zeros((H, H), np.float32)
+    mask[32:96, 32:96] = 1.0
+    contours, valid = losses.extract_contours([mask])
+
+    K = jnp.array([[100.0, 0, 64], [0, 100.0, 64], [0, 0, 1]])
+    w2c = jnp.eye(4).at[2, 3].set(2.0)
+
+    def loss_for(scale):
+        # a 3D square grid of points at z=0 that projects inside the mask
+        g = np.linspace(-0.3, 0.3, 8) * scale
+        pts = np.stack(np.meshgrid(g, g, indexing="ij"), -1).reshape(-1, 2)
+        pts3 = np.concatenate([pts, np.zeros((64, 1))], -1).astype(np.float32)
+        return float(
+            losses.silhouette_loss(
+                jnp.asarray(contours), jnp.asarray(valid),
+                jnp.asarray(mask)[None], w2c[None], K[None],
+                jnp.asarray(pts3), vertex_stride=1, imsize=float(H),
+            )
+        )
+
+    # a tiny blob far from the contour costs more than one that fills it
+    assert loss_for(1.0) > loss_for(2.0)
+
+
+def test_silhouette_loss_grad_finite(rng):
+    H = 64
+    mask = np.zeros((H, H), np.float32)
+    mask[16:48, 16:48] = 1.0
+    contours, valid = losses.extract_contours([mask])
+    K = jnp.array([[50.0, 0, 32], [0, 50.0, 32], [0, 0, 1]])
+    w2c = jnp.eye(4).at[2, 3].set(2.0)
+    pts = jnp.asarray(rng.normal(scale=0.2, size=(40, 3)), jnp.float32)
+
+    g = jax.grad(
+        lambda p: losses.silhouette_loss(
+            jnp.asarray(contours), jnp.asarray(valid),
+            jnp.asarray(mask)[None], w2c[None], K[None], p,
+            vertex_stride=1, imsize=float(H),
+        )
+    )(pts)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
