@@ -1,0 +1,323 @@
+"""The SMPLify optimizer as a jit-compiled ``lax.scan``.
+
+Re-design of the reference engine (/root/reference/smplify/smplify.py:84-250):
+the stateful 600-iteration Python loop over ``loss.backward(); opt.step()``
+becomes a pure scan whose carry is ``(params, adam_state)``, so the entire
+fit — SMPL forward, multi-view losses, Adam update — is one XLA program.
+``vmap`` the fit over a frame axis and shard that axis over a device mesh
+(:mod:`bodyfitting_tpu.parallel`) to fit whole sequences at once; each
+frame's fit is independent, so scaling needs no collectives in the hot loop.
+
+Reference behaviours preserved:
+  * per-parameter-group Adam learning rates: 0.1 for global translation and
+    scale, ``step_size`` (1e-2) for everything else (smplify.py:167-174);
+  * ``jaw_pose`` is created but *omitted from the optimizer* — the jaw
+    never moves even though face keypoints are in the loss (smplify.py:118,
+    167-173).  Set ``optimize_jaw=True`` to fix that deliberately;
+  * staging: mask and point-cloud losses switch on after
+    ``num_iters // 3`` steps, each weighted 5x (smplify.py:197-210);
+  * joint/vertex scaling ``(x + transl) * scale * constant_scale``
+    (smplify.py:189-190) and the output dict schema (216-226).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bodyfitting_tpu.losses.keypoints import multiview_keypoint_loss
+from bodyfitting_tpu.losses.mesh import (
+    compute_face_normals,
+    compute_vertex_normals,
+    normal_laplacian_smoothness,
+    normal_loss,
+    point_cloud_loss,
+)
+from bodyfitting_tpu.losses.silhouette import silhouette_loss
+from bodyfitting_tpu.models import body_model as bm
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Static fitting configuration (hashable -> one compile per config)."""
+
+    num_iters: int = 600
+    step_size: float = 1e-2
+    transl_lr: float = 0.1
+    use_mask: bool = False
+    use_mesh: bool = False
+    displacement: bool = False
+    optimize_jaw: bool = False
+    imsize: float = 512.0
+    sigma: float = 100.0
+    pose_prior_weight: float = 4.78
+    angle_prior_weight: float = 15.2
+    shape_prior_weight: float = 5.0
+    mask_weight: float = 5.0
+    pc_weight: float = 5.0
+    disp_lr: float = 5e-2
+    stage_gate_den: int = 3          # gate = num_iters // stage_gate_den
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    trace_every: int = 0             # >0: record loss every N steps
+
+
+@dataclasses.dataclass(frozen=True)
+class FitParams:
+    """Everything the optimizer moves (reference smplify.py:103-174)."""
+
+    body: bm.BodyParams
+    global_transl: jax.Array      # [3]
+    body_scale: jax.Array         # [1]
+
+    @staticmethod
+    def init(
+        model: bm.BodyModel,
+        init_betas: Optional[jax.Array] = None,
+        init_global_orient: Optional[jax.Array] = None,
+        init_body_pose: Optional[jax.Array] = None,
+    ) -> "FitParams":
+        body = bm.BodyParams.zeros(model)
+        if init_betas is not None:
+            body = dataclasses.replace(body, betas=init_betas)
+        if init_global_orient is not None:
+            body = dataclasses.replace(body, global_orient=init_global_orient)
+        if init_body_pose is not None:
+            body = dataclasses.replace(body, body_pose=init_body_pose)
+        return FitParams(
+            body=body,
+            global_transl=jnp.zeros((3,)),
+            body_scale=jnp.ones((1,)),
+        )
+
+
+jax.tree_util.register_dataclass(
+    FitParams, data_fields=["body", "global_transl", "body_scale"],
+    meta_fields=[],
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Observations:
+    """Per-frame observed data (a pytree; pad the view axis as needed)."""
+
+    w2cs: jax.Array               # [Vw, 4, 4]
+    Ks: jax.Array                 # [Vw, 3, 3]
+    keypoints: jax.Array          # [Vw, K, 3] (u, v, conf), model order
+    view_mask: jax.Array          # [Vw]
+    constant_scale: jax.Array     # scalar (0.3 GeneBody / height/1.7 scans)
+    # silhouette fitting (config.use_mask)
+    masks: Optional[jax.Array] = None          # [Vm, H, W]
+    mask_w2cs: Optional[jax.Array] = None      # [Vm, 4, 4]
+    mask_Ks: Optional[jax.Array] = None        # [Vm, 3, 3]
+    contours: Optional[jax.Array] = None       # [Vm, P, 2]
+    contour_valid: Optional[jax.Array] = None  # [Vm, P]
+    # scan fitting (config.use_mesh)
+    scan_verts: Optional[jax.Array] = None     # [Vs, 3]
+    scan_faces: Optional[jax.Array] = None     # [Fs, 3] int32
+    scan_height: Optional[jax.Array] = None    # scalar
+
+
+jax.tree_util.register_dataclass(
+    Observations,
+    data_fields=[
+        "w2cs", "Ks", "keypoints", "view_mask", "constant_scale", "masks",
+        "mask_w2cs", "mask_Ks", "contours", "contour_valid", "scan_verts",
+        "scan_faces", "scan_height",
+    ],
+    meta_fields=[],
+)
+
+
+def _body_pose69(model: bm.BodyModel, body_pose: jax.Array) -> jax.Array:
+    """SMPL-X's 63-dim body pose zero-padded to the prior's 69 dims
+    (reference loss.py:207)."""
+    if body_pose.shape[-1] == 69:
+        return body_pose
+    pad = jnp.zeros(body_pose.shape[:-1] + (69 - body_pose.shape[-1],),
+                    body_pose.dtype)
+    return jnp.concatenate([body_pose, pad], axis=-1)
+
+
+def _make_optimizer(config: FitConfig, params: FitParams):
+    """Adam with the reference's per-group learning rates.
+
+    transl & scale use ``transl_lr``; jaw (and optionally nothing else) is
+    frozen, matching the reference's omission of jaw_pose from opt_params.
+    """
+    def lr_tree(p: FitParams) -> FitParams:
+        body_lrs = {
+            f.name: jnp.full_like(getattr(p.body, f.name), config.step_size)
+            for f in dataclasses.fields(p.body)
+        }
+        if not config.optimize_jaw:
+            body_lrs["jaw_pose"] = jnp.zeros_like(p.body.jaw_pose)
+        return FitParams(
+            body=bm.BodyParams(**body_lrs),
+            global_transl=jnp.full_like(p.global_transl, config.transl_lr),
+            body_scale=jnp.full_like(p.body_scale, config.transl_lr),
+        )
+
+    lrs = lr_tree(params)
+    adam = optax.scale_by_adam(b1=config.adam_b1, b2=config.adam_b2)
+
+    def update_fn(updates, state, params=None):
+        updates, state = adam.update(updates, state, params)
+        updates = jax.tree.map(lambda u, lr: -lr * u, updates, lrs)
+        return updates, state
+
+    return optax.GradientTransformation(adam.init, update_fn)
+
+
+def fit_loss(
+    model: bm.BodyModel,
+    config: FitConfig,
+    params: FitParams,
+    obs: Observations,
+    step: jax.Array,
+    pose_prior_fn,
+):
+    """Total staged loss at a given iteration (one frame)."""
+    out = bm.forward(model, params.body)
+    scale = params.body_scale * obs.constant_scale
+    model_joints = (out.joints + params.global_transl) * scale
+    body_vertices = (out.vertices + params.global_transl) * scale
+
+    use_hand_face = model.model_type == "smplx"
+    pose69 = _body_pose69(model, params.body.body_pose)
+
+    total, terms = multiview_keypoint_loss(
+        obs.w2cs, obs.Ks, obs.keypoints, obs.view_mask, model_joints,
+        pose69, params.body.betas, pose_prior_fn,
+        imsize=config.imsize, sigma=config.sigma,
+        pose_prior_weight=config.pose_prior_weight,
+        angle_prior_weight=config.angle_prior_weight,
+        shape_prior_weight=config.shape_prior_weight,
+        use_hand_face=use_hand_face,
+    )
+
+    gate = config.num_iters // config.stage_gate_den
+    late = step > gate
+
+    if config.use_mask:
+        def mask_term(_):
+            return silhouette_loss(
+                obs.contours, obs.contour_valid, obs.masks, obs.mask_w2cs,
+                obs.mask_Ks, body_vertices, imsize=config.imsize,
+            )
+        mask_l = jax.lax.cond(
+            late, mask_term, lambda _: jnp.zeros(()), None
+        )
+        total = total + config.mask_weight * mask_l
+        terms["mask_loss"] = mask_l
+
+    if config.use_mesh:
+        def pc_term(_):
+            # reference: / scan_height * imsize (smplify.py:206)
+            return point_cloud_loss(
+                body_vertices, obs.scan_verts, obs.scan_faces
+            ) / obs.scan_height * config.imsize
+        pc_l = jax.lax.cond(late, pc_term, lambda _: jnp.zeros(()), None)
+        total = total + config.pc_weight * pc_l
+        terms["pc_loss"] = pc_l
+
+    return total, terms
+
+
+def fit(
+    model: bm.BodyModel,
+    config: FitConfig,
+    obs: Observations,
+    init: FitParams,
+    pose_prior_fn,
+):
+    """Run the staged SMPLify optimization for one frame.
+
+    Returns ``(final FitParams, result dict, loss trace)`` where the result
+    dict matches the reference's output schema (smplify.py:216-226).
+    Jit-compile with ``model``/``config`` static; ``vmap`` over frames by
+    batching ``obs`` and ``init``.
+    """
+    tx = _make_optimizer(config, init)
+    opt_state = tx.init(init)
+
+    def step_fn(carry, step):
+        params, opt_state = carry
+        (loss, terms), grads = jax.value_and_grad(
+            lambda p: fit_loss(model, config, p, obs, step, pose_prior_fn),
+            has_aux=True,
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    (params, _), losses = jax.lax.scan(
+        step_fn, (init, opt_state), jnp.arange(config.num_iters)
+    )
+
+    out = bm.forward(model, params.body)
+    scale = params.body_scale * obs.constant_scale
+    result = {
+        "vertices": (out.vertices + params.global_transl) * scale,
+        "joints": (out.joints + params.global_transl) * scale,
+        "pose": params.body.body_pose,
+        "betas": params.body.betas,
+        "global_orient": params.body.global_orient,
+        "global_transl": params.global_transl * params.body_scale,
+        "scale": params.body_scale,
+        "full_pose": out.full_pose,
+    }
+
+    if config.displacement and config.use_mesh:
+        disp, disp_losses = fit_displacement(
+            model, config, obs, jax.lax.stop_gradient(result["vertices"])
+        )
+        result["displacement"] = disp
+        losses = jnp.concatenate([losses, disp_losses])
+
+    return params, result, losses
+
+
+def fit_displacement(
+    model: bm.BodyModel,
+    config: FitConfig,
+    obs: Observations,
+    body_vertices: jax.Array,
+):
+    """Stage 2: per-vertex displacement (SMPL+D) fit to the scan
+    (reference smplify.py:228-247): ICP + normal + Laplacian losses."""
+    faces = model.faces
+    scan_face_normals = compute_face_normals(obs.scan_verts, obs.scan_faces)
+
+    def disp_loss(disp):
+        deformed = body_vertices + disp
+        deformed_norms = compute_vertex_normals(deformed, faces)
+        icp = point_cloud_loss(deformed, obs.scan_verts, obs.scan_faces)
+        nl = normal_loss(
+            deformed, deformed_norms, obs.scan_verts, obs.scan_faces,
+            scan_face_normals,
+        )
+        sm = normal_laplacian_smoothness(deformed_norms, faces)
+        return icp + (nl + sm) * obs.constant_scale * 0.1
+
+    tx = optax.adam(
+        config.disp_lr, b1=config.adam_b1, b2=config.adam_b2
+    )
+    disp0 = jnp.zeros_like(body_vertices)
+    opt_state = tx.init(disp0)
+
+    def step_fn(carry, _):
+        disp, opt_state = carry
+        loss, grads = jax.value_and_grad(disp_loss)(disp)
+        updates, opt_state = tx.update(grads, opt_state, disp)
+        disp = optax.apply_updates(disp, updates)
+        return (disp, opt_state), loss
+
+    (disp, _), losses = jax.lax.scan(
+        step_fn, (disp0, opt_state), None, length=config.num_iters
+    )
+    return disp, losses
