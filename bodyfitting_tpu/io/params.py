@@ -1,0 +1,66 @@
+"""Fit-result parameter IO: the ``{smpl_type}_parameter.npy`` contract.
+
+The reference saves a pickled-dict ``.npy`` per frame with keys
+vertices/joints/pose/betas/global_orient/faces/global_transl/scale/
+full_pose[/displacement] (smplify/smplify.py:216-226,247, saved at
+body_fitting.py:94-99) and copies them into ``param/%04d.npy`` +
+``smpl/%04d.obj`` (genebody_fitting.py:172-181).  Downstream GeneBody
+tooling loads these files, so the schema is preserved byte-for-byte
+(np.save of a dict of float32 arrays).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+PARAM_KEYS = (
+    "vertices", "joints", "pose", "betas", "global_orient", "faces",
+    "global_transl", "scale", "full_pose",
+)
+
+
+def to_numpy_result(result: dict, faces) -> dict:
+    """Device fit output -> the reference's numpy dict schema."""
+    out = {k: np.asarray(v, np.float32) for k, v in result.items()}
+    out["faces"] = np.asarray(faces, np.int32)
+    return out
+
+
+def save_params(path: str, result: dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.save(path, result, allow_pickle=True)
+
+
+def load_params(path: str) -> dict:
+    return np.load(path, allow_pickle=True).item()
+
+
+def save_fit_outputs(
+    output_dir: str,
+    smpl_type: str,
+    result: dict,
+    faces,
+    displacement: Optional[np.ndarray] = None,
+) -> None:
+    """Write ``{smpl_type}_parameter.npy``, ``{smpl_type}.obj`` (+ ``+d``),
+    mirroring body_fitting.py:94-99."""
+    from bodyfitting_tpu.io.obj import save_obj
+
+    os.makedirs(output_dir, exist_ok=True)
+    np_result = to_numpy_result(result, faces)
+    save_params(
+        os.path.join(output_dir, f"{smpl_type}_parameter.npy"), np_result
+    )
+    save_obj(
+        os.path.join(output_dir, f"{smpl_type}.obj"),
+        np_result["vertices"], np_result["faces"],
+    )
+    if displacement is not None:
+        save_obj(
+            os.path.join(output_dir, f"{smpl_type}+d.obj"),
+            np_result["vertices"] + np.asarray(displacement, np.float32),
+            np_result["faces"],
+        )
