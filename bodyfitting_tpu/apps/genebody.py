@@ -1,0 +1,304 @@
+"""GeneBody mocap fitting driver (reference apps/genebody_fitting.py).
+
+Same CLI surface, data layout, caching and outputs as the reference —
+``--tasks openpose smplify output``, per-frame ``images/`` + ``openpose/``
+caches, final ``smpl/%04d.obj`` + ``param/%04d.npy`` —  with one structural
+upgrade: frames are fitted in **batches** (``--batch_frames``) through a
+single vmapped jit instead of the reference's serial per-frame loop
+(genebody_fitting.py:183-192), which is where the TPU throughput comes
+from.
+
+Run:  python -m bodyfitting_tpu.apps.genebody --target_dir ... --subject ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from bodyfitting_tpu import constants
+from bodyfitting_tpu.fitting import body_fitting as bf
+from bodyfitting_tpu.fitting import smplify
+from bodyfitting_tpu.io import (
+    adjust_K_for_crop,
+    apply_mask,
+    crop_and_resize,
+    genebody_views,
+    load_annots,
+    load_openpose_dir,
+    mask_square_bbox,
+)
+from bodyfitting_tpu.models import body_model as bm
+
+
+def config_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--target_dir", type=str, default="/data/genebody")
+    p.add_argument("--annot_dir", type=str, default=None,
+                   help="annots.npy with camera parameters")
+    p.add_argument("--output_dir", type=str, default="./logs")
+    p.add_argument("--openpose_dir", type=str, default="../openpose",
+                   help="directory of the built openpose binary")
+    p.add_argument("--info_dir", type=str, default=None,
+                   help="csv with per-subject gender")
+    p.add_argument("--debug", default=False, action="store_true")
+    p.add_argument("--subject", type=str, default="zhuna")
+    p.add_argument("--load_size", default=512, type=int)
+    p.add_argument("--tasks", nargs="+", type=str,
+                   default=["openpose", "smplify", "output"])
+    p.add_argument("--use_mask", default=False, action="store_true")
+    p.add_argument("--smpl_type", default="smpl", type=str)
+    p.add_argument("--age", default="adult", type=str)
+    p.add_argument("--num_iters", default=600, type=int)
+    p.add_argument("--batch_frames", default=8, type=int,
+                   help="frames fitted concurrently in one jit")
+    p.add_argument("--model_path", type=str, default=None,
+                   help="SMPL pkl / SMPL-X npz asset; synthetic when absent")
+    p.add_argument("--gmm_path", type=str, default=None,
+                   help="gmm_08.pkl pose prior; synthetic when absent")
+    p.add_argument("--hmr_checkpoint", type=str, default=None)
+    p.add_argument("--mean_params", type=str, default=None)
+    p.add_argument("--synthetic_num_verts", type=int, default=None,
+                   help="vertex count of the synthetic fallback model "
+                        "(tiny values for smoke tests)")
+    return p
+
+
+def load_body_model(args) -> bm.BodyModel:
+    if args.model_path and os.path.exists(args.model_path):
+        model = bm.load_model(args.model_path, model_type=args.smpl_type)
+    else:
+        print(
+            "WARNING: no --model_path given; using a synthetic body model "
+            "(fits run, outputs are not anthropometric)", file=sys.stderr,
+        )
+        nv = getattr(args, "synthetic_num_verts", None) or (
+            constants.SMPLX_NUM_VERTS if args.smpl_type == "smplx"
+            else constants.SMPL_NUM_VERTS
+        )
+        model = bm.synthetic_model(args.smpl_type, num_verts=nv)
+    if model.model_type == "smpl":
+        model = bm.spin_joint_mapper_for_smpl(model)
+    return model
+
+
+def load_prior(args):
+    from bodyfitting_tpu.losses import priors
+
+    if args.gmm_path and os.path.exists(args.gmm_path):
+        return priors.load_gmm_prior(args.gmm_path)
+    return priors.synthetic_gmm_prior()
+
+
+class Runner:
+    def __init__(self, args):
+        self.args = args
+        self.subject = args.subject
+        self.target_dir = os.path.join(args.target_dir, self.subject)
+        self.output_dir = os.path.join(args.output_dir, self.subject)
+        annot = (
+            os.path.join(args.annot_dir, self.subject + ".npy")
+            if args.annot_dir
+            else os.path.join(self.target_dir, "annots.npy")
+        )
+        self.Ks_all, self.RTs_all = load_annots(annot)
+        self.views = genebody_views(self.subject)
+        self.mask_frames = list(constants.GENEBODY_MASK_FRAMES)
+        self.gender = self._gender()
+        self.use_hand_face = args.smpl_type == "smplx"
+        self.model = load_body_model(args)
+        self.prior = load_prior(args)
+        self.hmr = (
+            bf.HMRBundle.load(args.hmr_checkpoint, args.mean_params)
+            if args.hmr_checkpoint else None
+        )
+        self.seqs = self._sequence()
+
+    def _gender(self):
+        if self.args.info_dir and os.path.exists(self.args.info_dir):
+            with open(self.args.info_dir) as f:
+                for row in csv.reader(f):
+                    if row and row[0] == self.subject:
+                        return "female" if int(row[1]) == 0 else "male"
+        return "neutral"
+
+    def _sequence(self):
+        img_dir = os.path.join(self.target_dir, "image", "00")
+        names = sorted(os.listdir(img_dir))
+        return [int(os.path.splitext(n)[0]) for n in names]
+
+    # ----- per-frame data preparation (host) ------------------------------
+
+    def get_data(self, frame):
+        import imageio.v2 as imageio
+
+        size = self.args.load_size
+        img_dir = os.path.join(self.output_dir, "%06d" % frame, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        imgnames = sorted(
+            os.listdir(os.path.join(self.target_dir, "image", "00"))
+        )
+        msknames = sorted(
+            os.listdir(os.path.join(self.target_dir, "mask", "00"))
+        )
+        frame_idx = self.seqs.index(frame)
+
+        Ks, c2ws, use_frames, mask_frames, images, masks = (
+            [], [], [], [], [], []
+        )
+        for i, view in enumerate(self.views):
+            img = imageio.imread(os.path.join(
+                self.target_dir, "image", "%02d" % view, imgnames[frame_idx]
+            ))
+            msk = imageio.imread(os.path.join(
+                self.target_dir, "mask", "%02d" % view, msknames[frame_idx]
+            ))
+            if msk.ndim == 3:
+                msk = msk[..., 0]
+            bbox = mask_square_bbox(msk)
+            img = apply_mask(img, msk)
+            img = crop_and_resize(img, bbox, size)
+            if np.mean(img) <= 10:      # black frame -> view unusable
+                continue
+            use_frames.append(view)
+            imageio.imwrite(os.path.join(img_dir, "%02d.png" % view), img)
+            images.append(img)
+            if view in self.mask_frames and self.args.use_mask:
+                masks.append(crop_and_resize(msk, bbox, size, nearest=True))
+                mask_frames.append(view)
+            Ks.append(adjust_K_for_crop(self.Ks_all[i], bbox, size))
+            c2ws.append(self.RTs_all[i].astype(np.float32))
+        return images, masks, Ks, c2ws, use_frames, mask_frames
+
+    # ----- openpose subprocess (kept as the reference's boundary) ---------
+
+    def run_openpose(self, frame, data):
+        img_dir = os.path.abspath(
+            os.path.join(self.output_dir, "%06d" % frame, "images")
+        )
+        wrt_dir = os.path.abspath(
+            os.path.join(self.output_dir, "%06d" % frame, "openpose")
+        )
+        os.makedirs(wrt_dir, exist_ok=True)
+        n_json = len([f for f in os.listdir(wrt_dir) if f.endswith(".json")])
+        if n_json >= len(data[0]):
+            return                      # cached (genebody_fitting.py:150)
+        hand_face = ["--hand", "--face"] if self.use_hand_face else []
+        cmd = [
+            "build/examples/openpose/openpose.bin",
+            "--image_dir", img_dir, "--write_json", wrt_dir,
+            "--display", "0", "--render_pose", "0",
+        ] + hand_face
+        subprocess.run(cmd, cwd=self.args.openpose_dir, check=True)
+
+    def read_openpose(self, frame):
+        return load_openpose_dir(
+            os.path.join(self.output_dir, "%06d" % frame, "openpose")
+        )
+
+    # ----- batched fitting -------------------------------------------------
+
+    def build_frame_inputs(self, frame, data, keypoints):
+        images, masks, Ks, c2ws, use_frames, mask_frames = data
+        obs = bf.build_observations(
+            c2ws, Ks, keypoints, self.use_hand_face,
+            masks=masks if self.args.use_mask else None,
+            mask_c2ws=[c2ws[use_frames.index(f)] for f in mask_frames]
+            if masks else None,
+            mask_Ks=[Ks[use_frames.index(f)] for f in mask_frames]
+            if masks else None,
+            num_views=len(self.views),
+            # fixed shapes so frames batch: all GT-mask views + a generous
+            # contour budget (outer contour of a 512^2 person silhouette)
+            mask_num_views=len(self.mask_frames),
+            contour_pad=8 * self.args.load_size,
+        )
+        keyframe = (constants.GENEBODY_KEYFRAME
+                    if constants.GENEBODY_KEYFRAME in use_frames
+                    else use_frames[0])
+        key_idx = use_frames.index(keyframe)
+        betas, poses = bf.hmr_init(
+            images[key_idx] if self.hmr else None, c2ws[key_idx], self.hmr
+        )
+        init = bf.init_params_from_hmr(self.model, betas, poses)
+        return obs, init
+
+    def fit_batch(self, frames, inputs):
+        config = smplify.FitConfig(
+            num_iters=self.args.num_iters,
+            use_mask=self.args.use_mask and any(
+                o.masks is not None for o, _ in inputs
+            ),
+            imsize=float(self.args.load_size),
+        )
+        obs_list = [o for o, _ in inputs]
+        init_list = [i for _, i in inputs]
+        _, results, _ = bf.fit_frames_batched(
+            self.model, config, obs_list, init_list, self.prior
+        )
+        for bi, frame in enumerate(frames):
+            result = {k: np.asarray(v[bi]) for k, v in results.items()}
+            out_dir = os.path.join(
+                self.output_dir, "%06d" % frame, "smplify"
+            )
+            bf.save_frame_outputs(
+                out_dir, self.args.smpl_type, self.model, result,
+                debug=False,
+            )
+
+    def run_output(self, frame):
+        import shutil
+
+        frame_dir = os.path.join(self.output_dir, "%06d" % frame, "smplify")
+        smpl_folder = os.path.join(self.output_dir, "smpl")
+        param_folder = os.path.join(self.output_dir, "param")
+        os.makedirs(smpl_folder, exist_ok=True)
+        os.makedirs(param_folder, exist_ok=True)
+        shutil.copy(
+            os.path.join(frame_dir, f"{self.args.smpl_type}.obj"),
+            os.path.join(smpl_folder, "%04d.obj" % frame),
+        )
+        shutil.copy(
+            os.path.join(frame_dir,
+                         f"{self.args.smpl_type}_parameter.npy"),
+            os.path.join(param_folder, "%04d.npy" % frame),
+        )
+
+    def run(self):
+        pending_frames, pending_inputs = [], []
+        for frame in self.seqs:
+            data = self.get_data(frame)
+            if "openpose" in self.args.tasks:
+                self.run_openpose(frame, data)
+            keypoints = self.read_openpose(frame)
+            if "smplify" in self.args.tasks:
+                pending_frames.append(frame)
+                pending_inputs.append(
+                    self.build_frame_inputs(frame, data, keypoints)
+                )
+                if len(pending_frames) == self.args.batch_frames:
+                    self.fit_batch(pending_frames, pending_inputs)
+                    pending_frames, pending_inputs = [], []
+        if pending_frames:
+            self.fit_batch(pending_frames, pending_inputs)
+        if "output" in self.args.tasks:
+            for frame in self.seqs:
+                if os.path.exists(os.path.join(
+                    self.output_dir, "%06d" % frame, "smplify",
+                    f"{self.args.smpl_type}.obj",
+                )):
+                    self.run_output(frame)
+
+
+def main(argv=None):
+    args = config_parser().parse_args(argv)
+    Runner(args).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,270 @@
+"""RenderPeople scan fitting driver (reference apps/rp_fitting.py).
+
+Pipeline per scan: render synthetic ring views of the textured scan (cached
+on disk like the reference, rp_fitting.py:98-122) -> OpenPose -> SMPLify
+with the point-cloud term and optional SMPL+D displacement stage -> UV
+texture fitting -> outputs.
+
+Run:  python -m bodyfitting_tpu.apps.renderpeople --target_dir ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from bodyfitting_tpu.fitting import body_fitting as bf
+from bodyfitting_tpu.fitting import smplify
+from bodyfitting_tpu.fitting import texture as texfit
+from bodyfitting_tpu.io import load_obj, load_openpose_dir
+from bodyfitting_tpu.apps.genebody import load_body_model, load_prior
+
+
+def config_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--target_dir", type=str, default="./data/renderpeople")
+    p.add_argument("--output_dir", type=str, default="./logs_rp")
+    p.add_argument("--openpose_dir", type=str, default="../openpose")
+    p.add_argument("--info_dir", type=str, default=None)
+    p.add_argument("--debug", default=False, action="store_true")
+    p.add_argument("--load_size", default=512, type=int)
+    p.add_argument("--viewnum", default=8, type=int)
+    p.add_argument("--tasks", nargs="+", type=str,
+                   default=["openpose", "smplify", "smpld", "texfit",
+                            "output"])
+    p.add_argument("--use_mask", default=False, action="store_true")
+    p.add_argument("--white_bkgd", default=True, action="store_true")
+    p.add_argument("--smpl_type", default="smpl", type=str)
+    p.add_argument("--age", default="adult", type=str)
+    p.add_argument("--num_iters", default=600, type=int)
+    p.add_argument("--smpl_uv_dir", type=str, default="./data/smpl_uv",
+                   help="folder containing smpl_uv.obj / smplx_uv.obj")
+    p.add_argument("--tex_iters", default=200, type=int)
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--gmm_path", type=str, default=None)
+    p.add_argument("--hmr_checkpoint", type=str, default=None)
+    p.add_argument("--mean_params", type=str, default=None)
+    p.add_argument("--synthetic_num_verts", type=int, default=None)
+    return p
+
+
+def discover_scans(target_dir):
+    """All non-decimated .obj scans under target_dir (rp_fitting.py:86-96)."""
+    subjects, meshes = [], []
+    for path, _, files in os.walk(target_dir):
+        for name in files:
+            if name.endswith(".obj") and not name.endswith("_30k.obj"):
+                meshes.append(os.path.join(path, name))
+                subjects.append(os.path.basename(path))
+    return subjects, meshes
+
+
+class Runner:
+    def __init__(self, args):
+        self.args = args
+        self.output_dir = args.output_dir
+        self.use_hand_face = args.smpl_type == "smplx"
+        self.subjects, self.meshfiles = discover_scans(args.target_dir)
+        self.genders = self._genders()
+        self.model = load_body_model(args)
+        self.prior = load_prior(args)
+        self.hmr = (
+            bf.HMRBundle.load(args.hmr_checkpoint, args.mean_params)
+            if args.hmr_checkpoint else None
+        )
+        self.disp = "smpld" in args.tasks
+
+    def _genders(self):
+        if self.args.info_dir and os.path.exists(self.args.info_dir):
+            out = []
+            with open(self.args.info_dir) as f:
+                for row in csv.reader(f):
+                    out.append("female" if int(row[1]) == 0 else "male")
+            return out
+        return ["neutral"] * len(self.subjects)
+
+    def render_data(self, subject, meshfile):
+        import imageio.v2 as imageio
+
+        imgdir = os.path.join(self.output_dir, subject, "images")
+        maskdir = os.path.join(self.output_dir, subject, "masks")
+        os.makedirs(imgdir, exist_ok=True)
+        os.makedirs(maskdir, exist_ok=True)
+
+        scan = load_obj(meshfile, load_texture=True)
+        if scan.face_uvs is None or scan.texture is None:
+            raise ValueError(f"{meshfile} lacks UVs/texture")
+        scan_face_uvs = scan.uvs[scan.face_uvs]
+
+        if os.path.exists(os.path.join(imgdir, "00.png")):
+            images = [
+                imageio.imread(os.path.join(imgdir, "%02d.png" % i))
+                for i in range(self.args.viewnum)
+            ]
+            masks = [
+                imageio.imread(os.path.join(maskdir, "%02d.png" % i))
+                for i in range(self.args.viewnum)
+            ]
+            center, _, dist = texfit.scene_bounds(scan.verts)
+            w2cs = texfit.ring_poses(center, self.args.viewnum, dist)
+            Ks = np.stack(
+                [texfit.default_K(self.args.load_size)] * self.args.viewnum
+            )
+        else:
+            images, masks, w2cs, Ks = texfit.render_scan_views(
+                scan.verts, scan.faces, scan_face_uvs, scan.texture,
+                imgsize=self.args.load_size, viewnum=self.args.viewnum,
+                white_bkgd=self.args.white_bkgd,
+            )
+            for i in range(self.args.viewnum):
+                imageio.imwrite(
+                    os.path.join(imgdir, "%02d.png" % i), images[i]
+                )
+                imageio.imwrite(
+                    os.path.join(maskdir, "%02d.png" % i), masks[i]
+                )
+        c2ws = [np.linalg.inv(w2c).astype(np.float32) for w2c in w2cs]
+        return scan, scan_face_uvs, list(images), list(masks), list(Ks), c2ws
+
+    def run_openpose(self, subject, n_images):
+        img_dir = os.path.abspath(
+            os.path.join(self.output_dir, subject, "images")
+        )
+        wrt_dir = os.path.abspath(
+            os.path.join(self.output_dir, subject, "openpose")
+        )
+        os.makedirs(wrt_dir, exist_ok=True)
+        n_json = len([f for f in os.listdir(wrt_dir) if f.endswith(".json")])
+        if n_json >= n_images:
+            return
+        hand_face = ["--hand", "--face"] if self.use_hand_face else []
+        cmd = [
+            "build/examples/openpose/openpose.bin",
+            "--image_dir", img_dir, "--write_json", wrt_dir,
+            "--display", "0", "--render_pose", "0",
+        ] + hand_face
+        subprocess.run(cmd, cwd=self.args.openpose_dir, check=True)
+
+    def run_smplify(self, subject, scan, data, keypoints):
+        _, _, images, masks, Ks, c2ws = data
+        obs = bf.build_observations(
+            c2ws, Ks, keypoints, self.use_hand_face,
+            masks=masks if self.args.use_mask else None,
+            mask_c2ws=c2ws if self.args.use_mask else None,
+            mask_Ks=Ks if self.args.use_mask else None,
+            scan_verts=scan.verts, scan_faces=scan.faces,
+        )
+        betas, poses = bf.hmr_init(
+            images[0] if self.hmr else None, c2ws[0], self.hmr
+        )
+        init = bf.init_params_from_hmr(self.model, betas, poses)
+        config = smplify.FitConfig(
+            num_iters=self.args.num_iters,
+            use_mask=self.args.use_mask,
+            use_mesh=True,
+            displacement=self.disp,
+            imsize=float(self.args.load_size),
+        )
+        import jax
+
+        _, result, _ = jax.jit(
+            lambda o, i: smplify.fit(self.model, config, o, i, self.prior)
+        )(obs, init)
+        result = {k: np.asarray(v) for k, v in result.items()}
+        out_dir = os.path.join(self.output_dir, subject, "smplify")
+        bf.save_frame_outputs(
+            out_dir, self.args.smpl_type, self.model, result,
+            images=images, c2ws=c2ws, Ks=Ks, debug=self.args.debug,
+        )
+        return result
+
+    def run_texfit(self, subject, scan, scan_face_uvs, result):
+        import imageio.v2 as imageio
+
+        uv_path = os.path.join(
+            self.args.smpl_uv_dir, f"{self.args.smpl_type}_uv.obj"
+        )
+        if not os.path.exists(uv_path):
+            print(f"WARNING: no UV template at {uv_path}; skipping texfit",
+                  file=sys.stderr)
+            return
+        uv_mesh = load_obj(uv_path)
+        smpl_face_uvs = uv_mesh.uvs[uv_mesh.face_uvs]
+        verts = result["vertices"] + result.get(
+            "displacement", np.zeros_like(result["vertices"])
+        )
+        cfg = texfit.TextureFitConfig(iter_num=self.args.tex_iters)
+        tex, losses = texfit.fit_texture(
+            verts, np.asarray(self.model.faces), smpl_face_uvs,
+            scan.verts, scan.faces, scan_face_uvs, scan.texture, cfg,
+        )
+        coverage = np.asarray(
+            texfit.atlas_coverage_mask(smpl_face_uvs, cfg.tex_img_size)
+        )
+        img = texfit.fill_texture_holes(np.asarray(tex), coverage)
+        out_dir = os.path.join(self.output_dir, subject, "texfit")
+        os.makedirs(out_dir, exist_ok=True)
+        imageio.imwrite(
+            os.path.join(out_dir, "smpl.png"),
+            (np.clip(img, 0, 1) * 255).astype(np.uint8),
+        )
+        from bodyfitting_tpu.io import save_obj_uv
+
+        save_obj_uv(
+            os.path.join(out_dir, f"{self.args.smpl_type}+d_textured.obj"),
+            verts, np.asarray(self.model.faces), uv_mesh.uvs,
+            uv_mesh.face_uvs, texture=img,
+        )
+
+    def run_output(self, subject):
+        import shutil
+
+        smpl_folder = os.path.join(self.output_dir, "SMPL")
+        os.makedirs(smpl_folder, exist_ok=True)
+        src = os.path.join(
+            self.output_dir, subject, "smplify",
+            f"{self.args.smpl_type}.obj",
+        )
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(smpl_folder, f"{subject}.obj"))
+        param = os.path.join(
+            self.output_dir, subject, "smplify",
+            f"{self.args.smpl_type}_parameter.npy",
+        )
+        if os.path.exists(param):
+            shutil.copy(
+                param, os.path.join(smpl_folder, f"{subject}.npy")
+            )
+
+    def run(self):
+        for subject, meshfile, gender in zip(
+            self.subjects, self.meshfiles, self.genders
+        ):
+            data = self.render_data(subject, meshfile)
+            scan, scan_face_uvs = data[0], data[1]
+            if "openpose" in self.args.tasks:
+                self.run_openpose(subject, len(data[2]))
+            keypoints = load_openpose_dir(
+                os.path.join(self.output_dir, subject, "openpose")
+            )
+            result = None
+            if "smplify" in self.args.tasks:
+                result = self.run_smplify(subject, scan, data, keypoints)
+            if "texfit" in self.args.tasks and result is not None:
+                self.run_texfit(subject, scan, scan_face_uvs, result)
+            if "output" in self.args.tasks:
+                self.run_output(subject)
+
+
+def main(argv=None):
+    args = config_parser().parse_args(argv)
+    Runner(args).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""Frame-level fitting orchestration (reference smplify/body_fitting.py).
+
+Glues together: HMR initialization on a keyframe (rotated into world
+coordinates through the calibrated camera), the SMPLify optimization, and
+the output files + debug reprojection overlays.  Unlike the reference's
+per-frame objects, everything here is functional and the SMPLify stage
+accepts *batches* of frames (vmapped and optionally mesh-sharded upstream).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bodyfitting_tpu import constants
+from bodyfitting_tpu.fitting import smplify
+from bodyfitting_tpu.io import pack_keypoints, save_fit_outputs
+from bodyfitting_tpu.models import body_model as bm
+from bodyfitting_tpu.ops.rotations import rotmat_to_aa
+
+
+@dataclasses.dataclass
+class HMRBundle:
+    """A loaded HMR network + mean params (None -> mean-pose init)."""
+
+    model: object = None
+    variables: Optional[dict] = None
+    mean_params: Optional[tuple] = None
+
+    @staticmethod
+    def load(checkpoint_path: Optional[str] = None,
+             mean_params_path: Optional[str] = None) -> "HMRBundle":
+        from bodyfitting_tpu.models import hmr as hmr_mod
+
+        model, variables = hmr_mod.init_hmr(jax.random.key(0))
+        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+            variables = hmr_mod.load_torch_checkpoint(
+                checkpoint_path, variables
+            )
+        mean = (
+            hmr_mod.load_mean_params(mean_params_path)
+            if mean_params_path else hmr_mod.load_mean_params()
+        )
+        return HMRBundle(model=model, variables=variables, mean_params=mean)
+
+
+def preprocess_hmr_image(image: np.ndarray, input_res: int = 224):
+    """Resize + ImageNet-normalise (reference body_fitting.py:57-66)."""
+    import cv2
+
+    img = cv2.resize(image, (input_res, input_res),
+                     interpolation=cv2.INTER_CUBIC)
+    img = img.astype(np.float32) / 255.0
+    img = (img - np.asarray(constants.IMG_NORM_MEAN)) / np.asarray(
+        constants.IMG_NORM_STD
+    )
+    return img[None].astype(np.float32)          # NHWC
+
+
+def hmr_init(
+    image: Optional[np.ndarray],
+    c2w: np.ndarray,
+    bundle: Optional[HMRBundle] = None,
+):
+    """Initial (betas, poses[72]) for SMPLify from the keyframe.
+
+    Runs HMR when a network is given, otherwise the mean-pose fallback;
+    either way the global orientation is rotated into world frame through
+    the keyframe's camera-to-world rotation (body_fitting.py:69-73).
+    """
+    if bundle is not None and bundle.model is not None and image is not None:
+        from bodyfitting_tpu.models.hmr import hmr_forward
+
+        rotmat, betas, _ = hmr_forward(
+            bundle.model, bundle.variables,
+            jnp.asarray(preprocess_hmr_image(image)),
+            bundle.mean_params,
+        )
+        rotmat = np.asarray(rotmat[0])           # [24, 3, 3]
+        betas = np.asarray(betas[0])
+    else:
+        rotmat = np.broadcast_to(np.eye(3, dtype=np.float32),
+                                 (24, 3, 3)).copy()
+        betas = np.zeros(10, np.float32)
+
+    rotmat = np.array(rotmat)
+    rotmat[0] = np.asarray(c2w)[:3, :3] @ rotmat[0]
+    poses = np.asarray(rotmat_to_aa(jnp.asarray(rotmat))).reshape(-1)
+    return betas.astype(np.float32), poses.astype(np.float32)
+
+
+def build_observations(
+    c2ws: Sequence[np.ndarray],
+    Ks: Sequence[np.ndarray],
+    keypoints: Sequence[Optional[dict]],
+    use_hand_face: bool,
+    constant_scale: float = constants.GENEBODY_SCENE_SCALE,
+    masks: Optional[Sequence[np.ndarray]] = None,
+    mask_c2ws: Optional[Sequence[np.ndarray]] = None,
+    mask_Ks: Optional[Sequence[np.ndarray]] = None,
+    scan_verts: Optional[np.ndarray] = None,
+    scan_faces: Optional[np.ndarray] = None,
+    num_views: Optional[int] = None,
+    mask_num_views: Optional[int] = None,
+    contour_pad: Optional[int] = None,
+) -> smplify.Observations:
+    """Assemble a single frame's Observations from host-side data.
+
+    ``num_views`` / ``mask_num_views`` / ``contour_pad`` fix the padded
+    shapes so per-frame Observations stack into a batch.  Padded mask
+    views are inert: an all-ones mask (zero stay-inside term) with zero
+    contour validity (zero ICP term).
+    """
+    c2ws = np.asarray(c2ws, np.float32)
+    w2cs = np.linalg.inv(c2ws)
+    kps, view_mask = pack_keypoints(
+        keypoints, use_hand_face=use_hand_face, num_views=num_views
+    )
+    Vw = kps.shape[0]
+    w2cs_p = np.zeros((Vw, 4, 4), np.float32)
+    Ks_p = np.zeros((Vw, 3, 3), np.float32)
+    w2cs_p[: len(w2cs)] = w2cs
+    w2cs_p[len(w2cs):] = np.eye(4)
+    Ks_p[: len(Ks)] = np.asarray(Ks, np.float32)
+    Ks_p[len(Ks):] = np.eye(3)
+    # views beyond the provided cameras can never be valid
+    view_mask[len(w2cs):] = 0.0
+
+    obs = smplify.Observations(
+        w2cs=jnp.asarray(w2cs_p),
+        Ks=jnp.asarray(Ks_p),
+        keypoints=jnp.asarray(kps),
+        view_mask=jnp.asarray(view_mask),
+        constant_scale=jnp.asarray(constant_scale, jnp.float32),
+    )
+    if masks is not None and len(masks) > 0:
+        from bodyfitting_tpu.losses.silhouette import extract_contours
+
+        contours, valid = extract_contours(masks, pad_to=contour_pad)
+        mask_arr = (np.asarray(masks) > 128).astype(np.float32)
+        mw2cs = np.linalg.inv(np.asarray(mask_c2ws, np.float32))
+        mKs = np.asarray(mask_Ks, np.float32)
+        Vm = mask_num_views or len(masks)
+        if Vm > len(masks):
+            H, W = mask_arr.shape[1:3]
+            P = contours.shape[1]
+            pad_n = Vm - len(masks)
+            # inert padding: full masks, invalid contours, identity cameras
+            mask_arr = np.concatenate(
+                [mask_arr, np.ones((pad_n, H, W), np.float32)]
+            )
+            contours = np.concatenate(
+                [contours, np.zeros((pad_n, P, 2), np.float32)]
+            )
+            valid = np.concatenate(
+                [valid, np.zeros((pad_n, P), np.float32)]
+            )
+            eye4 = np.broadcast_to(np.eye(4, dtype=np.float32),
+                                   (pad_n, 4, 4))
+            mw2cs = np.concatenate([mw2cs, eye4])
+            eye3 = np.broadcast_to(np.eye(3, dtype=np.float32),
+                                   (pad_n, 3, 3))
+            mKs = np.concatenate([mKs, eye3])
+        obs = dataclasses.replace(
+            obs,
+            masks=jnp.asarray(mask_arr),
+            mask_w2cs=jnp.asarray(mw2cs),
+            mask_Ks=jnp.asarray(mKs),
+            contours=jnp.asarray(contours),
+            contour_valid=jnp.asarray(valid),
+        )
+    if scan_verts is not None:
+        sv = np.asarray(scan_verts, np.float32)
+        height = float(sv[:, 1].max() - sv[:, 1].min())
+        obs = dataclasses.replace(
+            obs,
+            scan_verts=jnp.asarray(sv),
+            scan_faces=jnp.asarray(np.asarray(scan_faces, np.int32)),
+            scan_height=jnp.asarray(height, jnp.float32),
+            constant_scale=jnp.asarray(
+                height / constants.RENDERPEOPLE_PERSON_HEIGHT, jnp.float32
+            ),
+        )
+    return obs
+
+
+def init_params_from_hmr(
+    model: bm.BodyModel, betas: np.ndarray, poses: np.ndarray
+) -> smplify.FitParams:
+    """HMR output -> FitParams (reference smplify.py:103-128)."""
+    nb = model.num_body_joints
+    body_pose = poses[3:3 + 3 * nb]
+    init_betas = betas
+    if model.num_betas != betas.shape[0]:
+        init_betas = np.zeros(model.num_betas, np.float32)
+        init_betas[: min(model.num_betas, betas.shape[0])] = betas[
+            : model.num_betas
+        ]
+    return smplify.FitParams.init(
+        model,
+        init_betas=jnp.asarray(init_betas),
+        init_global_orient=jnp.asarray(poses[:3]),
+        init_body_pose=jnp.asarray(body_pose),
+    )
+
+
+def check_smpl_fitting(image, verts, c2w, K):
+    """Green-dot reprojection overlay (reference body_fitting.py:35-43)."""
+    import cv2
+
+    w2c = np.linalg.inv(np.asarray(c2w))
+    cam = np.asarray(verts) @ w2c[:3, :3].T + w2c[:3, 3]
+    proj = cam @ np.asarray(K).T
+    uv = proj[:, :2] / np.maximum(proj[:, 2:3], 1e-9)
+    out = image.copy()
+    h, w = out.shape[:2]
+    for p in uv:
+        x, y = int(p[0]), int(p[1])
+        if 0 <= x < w and 0 <= y < h:
+            out = cv2.circle(out, (x, y), 1, (0, 255, 0), -1)
+    return out
+
+
+def fit_frames_batched(
+    model: bm.BodyModel,
+    config: smplify.FitConfig,
+    obs_list: Sequence[smplify.Observations],
+    init_list: Sequence[smplify.FitParams],
+    pose_prior_fn,
+):
+    """Stack per-frame observations and fit them all in one vmapped jit."""
+    obs = jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list)
+    init = jax.tree.map(lambda *xs: jnp.stack(xs), *init_list)
+    fit = jax.jit(
+        jax.vmap(lambda o, i: smplify.fit(model, config, o, i,
+                                          pose_prior_fn))
+    )
+    return fit(obs, init)
+
+
+def save_frame_outputs(
+    output_folder: str,
+    smpl_type: str,
+    model: bm.BodyModel,
+    result: dict,
+    images=None,
+    c2ws=None,
+    Ks=None,
+    use_frames=None,
+    render_skip: int = 12,
+    debug: bool = False,
+) -> None:
+    """Parameter/obj outputs + optional reprojection overlays
+    (body_fitting.py:94-107)."""
+    disp = result.get("displacement")
+    plain = {k: v for k, v in result.items() if k != "displacement"}
+    save_fit_outputs(
+        output_folder, smpl_type, plain, np.asarray(model.faces),
+        displacement=disp,
+    )
+    if debug and images is not None:
+        import imageio
+
+        fit_dir = os.path.join(output_folder, "smpl_fitting")
+        os.makedirs(fit_dir, exist_ok=True)
+        frames = use_frames or list(range(len(images)))
+        for idx in range(0, len(images), render_skip):
+            overlay = check_smpl_fitting(
+                images[idx], np.asarray(result["vertices"]), c2ws[idx],
+                Ks[idx],
+            )
+            imageio.imwrite(
+                os.path.join(fit_dir, "%02d.png" % frames[idx]), overlay
+            )

@@ -1,0 +1,181 @@
+"""End-to-end app smoke tests on tiny synthetic on-disk datasets."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bodyfitting_tpu.io import save_annots, save_obj_uv
+
+
+def _write_openpose_json(path, rng, imsize, with_hand_face=False):
+    def block(n):
+        kp = rng.uniform(imsize * 0.3, imsize * 0.7, size=(n, 2))
+        conf = np.full((n, 1), 0.9)
+        return np.concatenate([kp, conf], 1).reshape(-1).tolist()
+
+    person = {"pose_keypoints_2d": block(25)}
+    if with_hand_face:
+        person["hand_left_keypoints_2d"] = block(21)
+        person["hand_right_keypoints_2d"] = block(21)
+        person["face_keypoints_2d"] = block(70)
+    with open(path, "w") as f:
+        json.dump({"people": [person]}, f)
+
+
+@pytest.fixture
+def genebody_dataset(tmp_path):
+    """A 2-frame, 48-view (tiny-image) GeneBody-style dataset."""
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(0)
+    subject = "testsub"
+    root = tmp_path / "genebody" / subject
+    size = 64
+    n_views, n_frames = 48, 2
+    Ks = np.broadcast_to(
+        np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]], np.float32),
+        (n_views, 3, 3),
+    ).copy()
+    RTs = []
+    for v in range(n_views):
+        th = 2 * np.pi * v / n_views
+        eye = np.array([3 * np.sin(th), 0, 3 * np.cos(th)])
+        z = -eye / np.linalg.norm(eye)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = np.stack([x, y, z], 1)
+        c2w[:3, 3] = eye
+        RTs.append(c2w)
+    root.mkdir(parents=True)
+    save_annots(str(root / "annots.npy"), Ks, np.stack(RTs))
+
+    for v in range(n_views):
+        (root / "image" / ("%02d" % v)).mkdir(parents=True)
+        (root / "mask" / ("%02d" % v)).mkdir(parents=True)
+        for fr in range(n_frames):
+            img = rng.integers(60, 255, size=(size, size, 3)).astype(
+                np.uint8
+            )
+            msk = np.zeros((size, size), np.uint8)
+            msk[16:48, 20:44] = 255
+            imageio.imwrite(
+                str(root / "image" / ("%02d" % v) / ("%04d.jpg" % fr)), img
+            )
+            imageio.imwrite(
+                str(root / "mask" / ("%02d" % v) / ("%04d.png" % fr)), msk
+            )
+    return tmp_path, subject, size
+
+
+def test_genebody_app_end_to_end(genebody_dataset, tmp_path):
+    root, subject, size = genebody_dataset
+    out_dir = tmp_path / "out"
+    from bodyfitting_tpu.apps import genebody
+
+    # precompute openpose JSONs (no binary in the test env) — the app's
+    # cache check then skips the subprocess entirely
+    rng = np.random.default_rng(1)
+    args = genebody.config_parser().parse_args([
+        "--target_dir", str(root / "genebody"),
+        "--output_dir", str(out_dir),
+        "--subject", subject,
+        "--load_size", str(size),
+        "--tasks", "openpose", "smplify", "output",
+        "--num_iters", "10",
+        "--batch_frames", "2",
+        "--synthetic_num_verts", "64",
+    ])
+    runner = genebody.Runner(args)
+    for frame in runner.seqs:
+        data = runner.get_data(frame)
+        op_dir = out_dir / subject / ("%06d" % frame) / "openpose"
+        op_dir.mkdir(parents=True, exist_ok=True)
+        for view in data[4]:
+            _write_openpose_json(
+                str(op_dir / ("%02d_keypoints.json" % view)), rng, size
+            )
+    runner.run()
+
+    for frame in (0, 1):
+        smpl_obj = out_dir / subject / "smpl" / ("%04d.obj" % frame)
+        param = out_dir / subject / "param" / ("%04d.npy" % frame)
+        assert smpl_obj.exists()
+        assert param.exists()
+        d = np.load(str(param), allow_pickle=True).item()
+        assert {"vertices", "joints", "pose", "betas", "global_orient",
+                "faces", "global_transl", "scale", "full_pose"} <= set(d)
+        assert np.isfinite(d["vertices"]).all()
+
+
+def test_renderpeople_app_end_to_end(tmp_path):
+    """Tiny textured 'scan' -> render views -> smplify+smpld -> texfit."""
+    import imageio.v2 as imageio
+    from bodyfitting_tpu.apps import renderpeople
+
+    rng = np.random.default_rng(0)
+    scan_dir = tmp_path / "scans" / "subjectA"
+    scan_dir.mkdir(parents=True)
+    # a coarse textured sphere-ish scan
+    pts = rng.normal(size=(40, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts[:, 1] *= 1.6  # person-ish height
+    from scipy.spatial import ConvexHull
+
+    hull = ConvexHull(pts)
+    faces = hull.simplices.astype(np.int32)
+    uvs = rng.uniform(size=(len(pts), 2)).astype(np.float32)
+    face_uvs = faces.copy()
+    tex = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    save_obj_uv(
+        str(scan_dir / "subjectA.obj"), pts.astype(np.float32), faces,
+        uvs, face_uvs, texture=tex,
+    )
+
+    out_dir = tmp_path / "out_rp"
+    size = 64
+    # smpl uv template for the synthetic model (64 verts, faces from model)
+    from bodyfitting_tpu.models import body_model as bm
+
+    model = bm.synthetic_model("smpl", num_verts=64)
+    uv_dir = tmp_path / "smpl_uv"
+    uv_dir.mkdir()
+    mf = np.asarray(model.faces)
+    muv = rng.uniform(size=(64, 2)).astype(np.float32)
+    save_obj_uv(str(uv_dir / "smpl_uv.obj"),
+                np.asarray(model.v_template), mf, muv, mf)
+
+    args = renderpeople.config_parser().parse_args([
+        "--target_dir", str(tmp_path / "scans"),
+        "--output_dir", str(out_dir),
+        "--load_size", str(size),
+        "--viewnum", "4",
+        "--tasks", "openpose", "smplify", "smpld", "texfit", "output",
+        "--num_iters", "8",
+        "--tex_iters", "6",
+        "--smpl_uv_dir", str(uv_dir),
+        "--synthetic_num_verts", "64",
+    ])
+    runner = renderpeople.Runner(args)
+    assert runner.subjects == ["subjectA"]
+
+    # pre-write openpose JSONs into the cache location
+    op_dir = out_dir / "subjectA" / "openpose"
+    op_dir.mkdir(parents=True)
+    for v in range(4):
+        _write_openpose_json(
+            str(op_dir / ("%02d_keypoints.json" % v)), rng, size
+        )
+    runner.run()
+
+    smplify_dir = out_dir / "subjectA" / "smplify"
+    assert (smplify_dir / "smpl.obj").exists()
+    assert (smplify_dir / "smpl+d.obj").exists()        # displacement stage
+    d = np.load(str(smplify_dir / "smpl_parameter.npy"),
+                allow_pickle=True).item()
+    assert "displacement" in d or (smplify_dir / "smpl+d.obj").exists()
+    assert (out_dir / "subjectA" / "texfit" / "smpl.png").exists()
+    assert (out_dir / "SMPL" / "subjectA.obj").exists()
