@@ -124,9 +124,16 @@ def render_textured(
     verts, faces, face_uvs, texture, w2c, K, image_size, face_block=256,
     background=1.0,
 ):
-    """Rasterize + UV-sample in one go; differentiable w.r.t. ``texture``."""
+    """Rasterize + UV-sample in one go; differentiable w.r.t. ``texture``.
+
+    Uses the Pallas z-buffer kernel on TPU (the texture gradient flows
+    through the sampling post-pass only, so the non-differentiable kernel
+    is safe under grad)."""
+    from bodyfitting_tpu.ops.pallas_kernels import auto_rasterize
+
     px, fz = rz.project_faces(verts, faces, w2c, K)
-    raster = rz.rasterize(px, fz, image_size, face_block=face_block)
+    raster = auto_rasterize(px, fz, image_size, face_block=face_block)
+    raster = jax.tree.map(jax.lax.stop_gradient, raster)
     return rz.sample_texture(raster, face_uvs, texture,
                              background=background), raster
 
