@@ -28,13 +28,63 @@ class ObjMesh:
     mtl_name: Optional[str] = None
 
 
+def _load_mtl_texture(mtl_path: str):
+    """Diffuse (map_Kd) texture image from an MTL file, RGB float [0,1]."""
+    if not os.path.exists(mtl_path):
+        return None
+    tex_file = None
+    with open(mtl_path) as f:
+        for line in f:
+            parts = line.split()
+            if parts and parts[0] == "map_Kd":
+                tex_file = parts[-1]
+    if tex_file is None:
+        return None
+    import cv2
+
+    img = cv2.imread(
+        os.path.join(os.path.dirname(mtl_path), tex_file), cv2.IMREAD_COLOR
+    )
+    if img is None:
+        return None
+    return img[..., ::-1].astype(np.float32) / 255.0  # BGR -> RGB
+
+
 def _resolve_index(tok: str, count: int) -> int:
     i = int(tok)
     return i - 1 if i > 0 else count + i
 
 
-def load_obj(path: str, load_texture: bool = False) -> ObjMesh:
-    """Parse an OBJ file (quads triangulated fan-style, like the reference)."""
+def load_obj(path: str, load_texture: bool = False,
+             use_native: bool = True) -> ObjMesh:
+    """Parse an OBJ file (quads triangulated fan-style, like the reference).
+
+    Uses the native C++ parser (io/native.py) when available — scans are
+    multi-million-line files — with a transparent pure-Python fallback.
+    """
+    if use_native:
+        from bodyfitting_tpu.io.native import parse_obj_native
+
+        try:
+            parsed = parse_obj_native(path)
+        except IOError:
+            raise
+        if parsed is not None:
+            verts, uvs, normals, faces, face_uvs, face_normals, mtl = parsed
+            texture = None
+            if load_texture and mtl is not None:
+                texture = _load_mtl_texture(
+                    os.path.join(os.path.dirname(path), mtl)
+                )
+            return ObjMesh(
+                verts=verts if verts is not None else np.zeros((0, 3),
+                                                               np.float32),
+                faces=faces if faces is not None else np.zeros(
+                    (0, 3), np.int32
+                ),
+                uvs=uvs, face_uvs=face_uvs, normals=normals,
+                face_normals=face_normals, texture=texture, mtl_name=mtl,
+            )
     verts, uvs, normals = [], [], []
     faces, face_uvs, face_normals = [], [], []
     mtl_file = None
@@ -78,23 +128,7 @@ def load_obj(path: str, load_texture: bool = False) -> ObjMesh:
         mtl_path = os.path.join(os.path.dirname(path), mtl_file)
         if os.path.exists(mtl_path):
             mtl_name = mtl_file
-            tex_file = None
-            with open(mtl_path) as f:
-                for line in f:
-                    parts = line.split()
-                    if parts and parts[0] == "map_Kd":
-                        tex_file = parts[-1]
-            if tex_file is not None:
-                import cv2
-
-                img = cv2.imread(
-                    os.path.join(os.path.dirname(path), tex_file),
-                    cv2.IMREAD_COLOR,
-                )
-                if img is not None:
-                    texture = (
-                        img[..., ::-1].astype(np.float32) / 255.0
-                    )  # BGR -> RGB
+            texture = _load_mtl_texture(mtl_path)
 
     return ObjMesh(
         verts=np.asarray(verts, np.float32),
