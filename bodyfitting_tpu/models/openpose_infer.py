@@ -1,0 +1,384 @@
+"""OpenPose inference pipeline: peaks, PAF limb assembly, JSON output.
+
+Host-side post-processing around :mod:`bodyfitting_tpu.models.openpose`,
+re-implementing the reference's detector semantics (openpose/body.py:60-312,
+hand.py:26-86, util.py:128-190):
+
+  * multi-scale forward passes (0.5/1.0/1.5/2.0 x 368/H), stride-8 maps
+    upsampled and averaged;
+  * heatmap peaks via gaussian smoothing + 4-neighbour local maxima;
+  * limb scoring by line integrals along the part-affinity fields with the
+    distance prior, greedy bipartite matching, and person grouping with
+    subset merging (the published greedy PAF algorithm);
+  * hand boxes from wrist/elbow/shoulder geometry, hand heatmap argmax;
+  * :func:`detect_to_json` emits OpenPose-format JSON files, making this a
+    drop-in replacement for the external binary in the fitting apps.
+
+The network forward runs jitted (batched over scales when shapes allow);
+everything data-dependent stays in numpy, mirroring the reference split.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# BODY_25-style limb/PAF tables for the 18-part COCO model (published
+# OpenPose constants; reference openpose/body.py:129-135).
+LIMB_SEQ = [
+    [2, 3], [2, 6], [3, 4], [4, 5], [6, 7], [7, 8], [2, 9], [9, 10],
+    [10, 11], [2, 12], [12, 13], [13, 14], [2, 1], [1, 15], [15, 17],
+    [1, 16], [16, 18], [3, 17], [6, 18],
+]
+MAP_IDX = [
+    [31, 32], [39, 40], [33, 34], [35, 36], [41, 42], [43, 44], [19, 20],
+    [21, 22], [23, 24], [25, 26], [27, 28], [29, 30], [47, 48], [49, 50],
+    [53, 54], [51, 52], [55, 56], [37, 38], [45, 46],
+]
+
+# COCO-18 -> OpenPose BODY_25 slot mapping (BODY_25 adds MidHip(8) and
+# foot keypoints 19-24, which the COCO model does not produce).
+COCO18_TO_BODY25 = [0, 1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 12, 13, 14, 15, 16,
+                    17, 18]
+
+
+def pad_right_down(img: np.ndarray, stride: int, pad_value: int):
+    """Pad H/W up to multiples of stride (reference util.py:12-32)."""
+    h, w = img.shape[:2]
+    pad_d = (stride - h % stride) % stride
+    pad_r = (stride - w % stride) % stride
+    out = np.pad(
+        img, ((0, pad_d), (0, pad_r), (0, 0)), mode="constant",
+        constant_values=pad_value,
+    )
+    return out, (0, 0, pad_d, pad_r)
+
+
+def _multiscale_maps(apply_fn, ori_img, n_out_list, boxsize=368, stride=8,
+                     pad_value=128, scales=(0.5, 1.0, 1.5, 2.0)):
+    """Average per-scale network outputs, resized to the input resolution."""
+    import cv2
+
+    H, W = ori_img.shape[:2]
+    avgs = [np.zeros((H, W, n), np.float32) for n in n_out_list]
+    for s in scales:
+        scale = s * boxsize / H
+        scaled = cv2.resize(ori_img, (0, 0), fx=scale, fy=scale,
+                            interpolation=cv2.INTER_CUBIC)
+        padded, pad = pad_right_down(scaled, stride, pad_value)
+        inp = padded[None].astype(np.float32) / 256.0 - 0.5
+        outs = apply_fn(jnp.asarray(inp))
+        if not isinstance(outs, (tuple, list)):
+            outs = (outs,)
+        for oi, out in enumerate(outs):
+            m = np.asarray(out[0], np.float32)
+            m = cv2.resize(m, (0, 0), fx=stride, fy=stride,
+                           interpolation=cv2.INTER_CUBIC)
+            m = m[: padded.shape[0] - pad[2], : padded.shape[1] - pad[3]]
+            m = cv2.resize(m, (W, H), interpolation=cv2.INTER_CUBIC)
+            avgs[oi] += m / len(scales)
+    return avgs
+
+
+def find_peaks(heatmap_avg: np.ndarray, thre1: float = 0.1):
+    """Per-part peak lists ``[(x, y, score, id), ...]``
+    (reference body.py:104-127)."""
+    from scipy.ndimage import gaussian_filter
+
+    all_peaks = []
+    counter = 0
+    for part in range(heatmap_avg.shape[2] - 1):      # last ch = background
+        m = heatmap_avg[:, :, part]
+        sm = gaussian_filter(m, sigma=3)
+        left = np.zeros_like(sm); left[1:, :] = sm[:-1, :]        # noqa: E702
+        right = np.zeros_like(sm); right[:-1, :] = sm[1:, :]      # noqa: E702
+        up = np.zeros_like(sm); up[:, 1:] = sm[:, :-1]            # noqa: E702
+        down = np.zeros_like(sm); down[:, :-1] = sm[:, 1:]        # noqa: E702
+        binary = (
+            (sm >= left) & (sm >= right) & (sm >= up) & (sm >= down)
+            & (sm > thre1)
+        )
+        ys, xs = np.nonzero(binary)
+        peaks = [
+            (int(x), int(y), float(m[y, x]), counter + i)
+            for i, (x, y) in enumerate(zip(xs, ys))
+        ]
+        counter += len(peaks)
+        all_peaks.append(peaks)
+    return all_peaks
+
+
+def assemble_people(all_peaks, paf_avg, img_h, thre2: float = 0.05,
+                    mid_num: int = 100):
+    """Greedy PAF limb assembly -> (candidate [N,4], subset [P,20])
+    (reference body.py:137-240)."""
+    connection_all, special_k = [], []
+    for k, (limb, midx) in enumerate(zip(LIMB_SEQ, MAP_IDX)):
+        score_mid = paf_avg[:, :, [midx[0] - 19, midx[1] - 19]]
+        candA = all_peaks[limb[0] - 1]
+        candB = all_peaks[limb[1] - 1]
+        if not candA or not candB:
+            special_k.append(k)
+            connection_all.append([])
+            continue
+        candidates = []
+        for i, a in enumerate(candA):
+            for j, b in enumerate(candB):
+                vec = np.array([b[0] - a[0], b[1] - a[1]], np.float64)
+                norm = max(math.hypot(*vec), 0.1)
+                vecn = vec / norm
+                xs = np.round(np.linspace(a[0], b[0], mid_num)).astype(int)
+                ys = np.round(np.linspace(a[1], b[1], mid_num)).astype(int)
+                pts = score_mid[ys, xs]                    # [mid, 2]
+                score_midpts = pts[:, 0] * vecn[0] + pts[:, 1] * vecn[1]
+                score = score_midpts.mean() + min(
+                    0.5 * img_h / norm - 1, 0
+                )
+                if (np.count_nonzero(score_midpts > thre2)
+                        > 0.8 * mid_num and score > 0):
+                    candidates.append((i, j, score))
+        candidates.sort(key=lambda c: c[2], reverse=True)
+        connection = np.zeros((0, 5))
+        used_i, used_j = set(), set()
+        for i, j, s in candidates:
+            if i in used_i or j in used_j:
+                continue
+            connection = np.vstack(
+                [connection, [candA[i][3], candB[j][3], s, i, j]]
+            )
+            used_i.add(i)
+            used_j.add(j)
+            if len(connection) >= min(len(candA), len(candB)):
+                break
+        connection_all.append(connection)
+
+    subset = -1 * np.ones((0, 20))
+    candidate = np.array(
+        [p for peaks in all_peaks for p in peaks], np.float64
+    ).reshape(-1, 4)
+    for k in range(len(MAP_IDX)):
+        if k in special_k:
+            continue
+        partAs = connection_all[k][:, 0]
+        partBs = connection_all[k][:, 1]
+        idxA, idxB = np.array(LIMB_SEQ[k]) - 1
+        for i in range(len(connection_all[k])):
+            found = 0
+            subset_idx = [-1, -1]
+            for j in range(len(subset)):
+                if (subset[j][idxA] == partAs[i]
+                        or subset[j][idxB] == partBs[i]):
+                    if found < 2:
+                        subset_idx[found] = j
+                    found += 1
+            if found == 1:
+                j = subset_idx[0]
+                if subset[j][idxB] != partBs[i]:
+                    subset[j][idxB] = partBs[i]
+                    subset[j][-1] += 1
+                    subset[j][-2] += (
+                        candidate[int(partBs[i]), 2]
+                        + connection_all[k][i][2]
+                    )
+            elif found == 2:
+                j1, j2 = subset_idx
+                membership = (
+                    (subset[j1] >= 0).astype(int)
+                    + (subset[j2] >= 0).astype(int)
+                )[:-2]
+                if not (membership == 2).any():          # disjoint: merge
+                    subset[j1][:-2] += subset[j2][:-2] + 1
+                    subset[j1][-2:] += subset[j2][-2:]
+                    subset[j1][-2] += connection_all[k][i][2]
+                    subset = np.delete(subset, j2, 0)
+                else:
+                    subset[j1][idxB] = partBs[i]
+                    subset[j1][-1] += 1
+                    subset[j1][-2] += (
+                        candidate[int(partBs[i]), 2]
+                        + connection_all[k][i][2]
+                    )
+            elif not found and k < 17:
+                row = -1 * np.ones(20)
+                row[idxA] = partAs[i]
+                row[idxB] = partBs[i]
+                row[-1] = 2
+                row[-2] = (
+                    candidate[int(partAs[i]), 2]
+                    + candidate[int(partBs[i]), 2]
+                    + connection_all[k][i][2]
+                )
+                subset = np.vstack([subset, row])
+
+    keep = [
+        i for i in range(len(subset))
+        if subset[i][-1] >= 4 and subset[i][-2] / subset[i][-1] >= 0.4
+    ]
+    return candidate, subset[keep]
+
+
+def hand_boxes(candidate, subset, img_shape, ratio_wrist_elbow=0.33):
+    """Square hand crops from body keypoints (reference util.py:128-190).
+    Returns ``[(x, y, w, is_left), ...]``."""
+    H, W = img_shape[:2]
+    out = []
+    for person in subset.astype(int):
+        for (s_i, e_i, w_i, is_left) in (
+            (5, 6, 7, True), (2, 3, 4, False)
+        ):
+            if (person[[s_i, e_i, w_i]] == -1).any():
+                continue
+            x1, y1 = candidate[person[s_i]][:2]
+            x2, y2 = candidate[person[e_i]][:2]
+            x3, y3 = candidate[person[w_i]][:2]
+            x = x3 + ratio_wrist_elbow * (x3 - x2)
+            y = y3 + ratio_wrist_elbow * (y3 - y2)
+            d_we = math.hypot(x3 - x2, y3 - y2)
+            d_es = math.hypot(x2 - x1, y2 - y1)
+            width = 1.5 * max(d_we, 0.9 * d_es)
+            x -= width / 2
+            y -= width / 2
+            x, y = max(x, 0), max(y, 0)
+            width = min(width, W - x, H - y)
+            if width >= 20:
+                out.append((int(x), int(y), int(width), is_left))
+    return out
+
+
+class BodyDetector:
+    """End-to-end body keypoint detector (reference openpose/body.py)."""
+
+    def __init__(self, checkpoint_path: Optional[str] = None,
+                 scales=(0.5, 1.0, 1.5, 2.0)):
+        from bodyfitting_tpu.models.openpose import load_body_net
+
+        self.model, self.variables = load_body_net(checkpoint_path)
+        self.scales = scales
+        self._apply = jax.jit(
+            lambda x: self.model.apply(self.variables, x)
+        )
+
+    def __call__(self, ori_img: np.ndarray):
+        paf_avg, heatmap_avg = _multiscale_maps(
+            self._apply, ori_img, [38, 19], scales=self.scales
+        )
+        all_peaks = find_peaks(heatmap_avg)
+        return assemble_people(all_peaks, paf_avg, ori_img.shape[0])
+
+
+class HandDetector:
+    """21-keypoint hand detector on a square crop (reference hand.py)."""
+
+    def __init__(self, checkpoint_path: Optional[str] = None,
+                 scales=(0.5, 1.0, 1.5, 2.0)):
+        from bodyfitting_tpu.models.openpose import load_hand_net
+
+        self.model, self.variables = load_hand_net(checkpoint_path)
+        self.scales = scales
+        self._apply = jax.jit(
+            lambda x: self.model.apply(self.variables, x)
+        )
+
+    def __call__(self, crop_img: np.ndarray, thre: float = 0.05):
+        from scipy.ndimage import gaussian_filter, label
+
+        (heatmap_avg,) = _multiscale_maps(
+            self._apply, crop_img, [22], scales=self.scales
+        )
+        peaks = []
+        for part in range(21):
+            m = heatmap_avg[:, :, part]
+            sm = gaussian_filter(m, sigma=3)
+            binary = (sm > thre).astype(np.uint8)
+            if binary.sum() == 0:
+                peaks.append([0, 0])
+                continue
+            labels, n = label(binary)
+            sums = [m[labels == i].sum() for i in range(1, n + 1)]
+            best = int(np.argmax(sums)) + 1
+            masked = np.where(labels == best, m, 0)
+            y, x = np.unravel_index(np.argmax(masked), masked.shape)
+            peaks.append([int(x), int(y)])
+        return np.array(peaks)
+
+
+def person_to_body25(candidate, person_row):
+    """One subset row -> BODY_25 (u, v, conf) keypoints (COCO-18 slots)."""
+    out = np.zeros((25, 3), np.float32)
+    for coco_i, b25_i in enumerate(COCO18_TO_BODY25):
+        idx = int(person_row[coco_i])
+        if idx >= 0:
+            out[b25_i] = candidate[idx][:3]
+    # synthesize MidHip (8) from the two hips when both exist
+    if out[9, 2] > 0 and out[12, 2] > 0:
+        out[8, :2] = (out[9, :2] + out[12, :2]) / 2
+        out[8, 2] = min(out[9, 2], out[12, 2])
+    return out
+
+
+def detect_to_json(
+    image_dir: str,
+    write_dir: str,
+    body: BodyDetector,
+    hand: Optional[HandDetector] = None,
+    hand_face: bool = False,
+):
+    """Run detection over a directory and write OpenPose-format JSONs.
+
+    Drop-in for the reference's binary invocation (genebody_fitting.py:
+    144-155): per image ``<stem>_keypoints.json`` with
+    ``people[*].pose_keypoints_2d`` (75 floats) and, with ``hand_face``,
+    hand keypoint blocks from the hand network.
+    """
+    import cv2
+
+    os.makedirs(write_dir, exist_ok=True)
+    for name in sorted(os.listdir(image_dir)):
+        if not name.lower().endswith((".png", ".jpg", ".jpeg")):
+            continue
+        img = cv2.imread(os.path.join(image_dir, name))
+        candidate, subset = body(img)
+        people = []
+        for row in subset:
+            b25 = person_to_body25(candidate, row)
+            person = {
+                "pose_keypoints_2d":
+                    [float(v) for v in b25.reshape(-1)],
+            }
+            if hand_face and hand is not None:
+                lh = np.zeros((21, 3), np.float32)
+                rh = np.zeros((21, 3), np.float32)
+                for (x, y, w, is_left) in hand_boxes(
+                    candidate, row[None], img.shape
+                ):
+                    crop = img[y:y + w, x:x + w]
+                    if is_left:
+                        crop = cv2.flip(crop, 1)
+                    pk = hand(crop).astype(np.float32)
+                    if is_left:
+                        pk[:, 0] = w - 1 - pk[:, 0]
+                    pk += np.array([x, y], np.float32)
+                    conf = (pk.sum(1) > 0).astype(np.float32)
+                    block = np.concatenate([pk, conf[:, None]], 1)
+                    if is_left:
+                        lh = block
+                    else:
+                        rh = block
+                person["hand_left_keypoints_2d"] = [
+                    float(v) for v in lh.reshape(-1)
+                ]
+                person["hand_right_keypoints_2d"] = [
+                    float(v) for v in rh.reshape(-1)
+                ]
+            people.append(person)
+        stem = os.path.splitext(name)[0]
+        with open(
+            os.path.join(write_dir, f"{stem}_keypoints.json"), "w"
+        ) as f:
+            json.dump({"version": 1.3, "people": people}, f)
