@@ -50,6 +50,10 @@ def config_parser():
     p.add_argument("--hmr_checkpoint", type=str, default=None)
     p.add_argument("--mean_params", type=str, default=None)
     p.add_argument("--synthetic_num_verts", type=int, default=None)
+    p.add_argument("--inpaint", default=False, action="store_true",
+                   help="inpaint unseen UV regions after texture fitting")
+    p.add_argument("--lbam_checkpoint", type=str, default=None,
+                   help="LBAM weights; diffusion inpainting when absent")
     return p
 
 
@@ -207,6 +211,21 @@ class Runner:
             texfit.atlas_coverage_mask(smpl_face_uvs, cfg.tex_img_size)
         )
         img = texfit.fill_texture_holes(np.asarray(tex), coverage)
+        if self.args.inpaint:
+            # unseen texels remain near the grey init (reference
+            # texture_fitting.py:191-218 detects 118-138/255 grey)
+            grey = np.abs(img - 128.0 / 255.0).max(-1) < 0.04
+            unseen = grey & (coverage > 0.5)
+            if self.args.lbam_checkpoint:
+                from bodyfitting_tpu.models.inpaint import Inpainter
+
+                net = Inpainter(self.args.lbam_checkpoint)
+                img = net(
+                    (img * 255).astype(np.uint8),
+                    (unseen[..., None] * np.uint8(255)).repeat(3, -1),
+                )
+            else:
+                img = texfit.inpaint_unseen(img, unseen)
         out_dir = os.path.join(self.output_dir, subject, "texfit")
         os.makedirs(out_dir, exist_ok=True)
         imageio.imwrite(
