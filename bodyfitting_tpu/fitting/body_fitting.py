@@ -108,6 +108,8 @@ def build_observations(
     num_views: Optional[int] = None,
     mask_num_views: Optional[int] = None,
     contour_pad: Optional[int] = None,
+    build_sdf: bool = True,
+    sdf_resolution: int = 96,
 ) -> smplify.Observations:
     """Assemble a single frame's Observations from host-side data.
 
@@ -186,6 +188,16 @@ def build_observations(
                 height / constants.RENDERPEOPLE_PERSON_HEIGHT, jnp.float32
             ),
         )
+        if build_sdf:
+            from bodyfitting_tpu.ops.sdf import build_distance_volume
+
+            obs = dataclasses.replace(
+                obs,
+                scan_volume=build_distance_volume(
+                    obs.scan_verts, obs.scan_faces,
+                    resolution=sdf_resolution,
+                ),
+            )
     return obs
 
 

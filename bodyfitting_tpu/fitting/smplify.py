@@ -64,6 +64,10 @@ class FitConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     trace_every: int = 0             # >0: record loss every N steps
+    # 'sdf' queries a precomputed distance volume per iteration (O(Q),
+    # ~1000x cheaper; requires obs.scan_volume); 'exact' re-runs the
+    # dense nearest-point sweep like the reference.
+    mesh_loss_impl: str = "sdf"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,6 +124,7 @@ class Observations:
     scan_verts: Optional[jax.Array] = None     # [Vs, 3]
     scan_faces: Optional[jax.Array] = None     # [Fs, 3] int32
     scan_height: Optional[jax.Array] = None    # scalar
+    scan_volume: Optional[object] = None       # ops.sdf.DistanceVolume
 
 
 jax.tree_util.register_dataclass(
@@ -127,7 +132,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "w2cs", "Ks", "keypoints", "view_mask", "constant_scale", "masks",
         "mask_w2cs", "mask_Ks", "contours", "contour_valid", "scan_verts",
-        "scan_faces", "scan_height",
+        "scan_faces", "scan_height", "scan_volume",
     ],
     meta_fields=[],
 )
@@ -216,11 +221,21 @@ def fit_loss(
         terms["mask_loss"] = mask_l
 
     if config.use_mesh:
+        use_sdf = (
+            config.mesh_loss_impl == "sdf" and obs.scan_volume is not None
+        )
+
         def pc_term(_):
+            if use_sdf:
+                from bodyfitting_tpu.ops.sdf import point_cloud_loss_sdf
+
+                pc = point_cloud_loss_sdf(body_vertices, obs.scan_volume)
+            else:
+                pc = point_cloud_loss(
+                    body_vertices, obs.scan_verts, obs.scan_faces
+                )
             # reference: / scan_height * imsize (smplify.py:206)
-            return point_cloud_loss(
-                body_vertices, obs.scan_verts, obs.scan_faces
-            ) / obs.scan_height * config.imsize
+            return pc / obs.scan_height * config.imsize
         pc_l = jax.lax.cond(late, pc_term, lambda _: jnp.zeros(()), None)
         total = total + config.pc_weight * pc_l
         terms["pc_loss"] = pc_l
@@ -292,15 +307,32 @@ def fit_displacement(
     (reference smplify.py:228-247): ICP + normal + Laplacian losses."""
     faces = model.faces
     scan_face_normals = compute_face_normals(obs.scan_verts, obs.scan_faces)
+    use_sdf = (
+        config.mesh_loss_impl == "sdf" and obs.scan_volume is not None
+    )
 
     def disp_loss(disp):
         deformed = body_vertices + disp
         deformed_norms = compute_vertex_normals(deformed, faces)
-        icp = point_cloud_loss(deformed, obs.scan_verts, obs.scan_faces)
-        nl = normal_loss(
-            deformed, deformed_norms, obs.scan_verts, obs.scan_faces,
-            scan_face_normals,
-        )
+        if use_sdf:
+            from bodyfitting_tpu.ops.sdf import (
+                normal_loss_sdf,
+                point_cloud_loss_sdf,
+            )
+
+            icp = point_cloud_loss_sdf(deformed, obs.scan_volume)
+            nl = normal_loss_sdf(
+                deformed, deformed_norms, obs.scan_volume,
+                scan_face_normals,
+            )
+        else:
+            icp = point_cloud_loss(
+                deformed, obs.scan_verts, obs.scan_faces
+            )
+            nl = normal_loss(
+                deformed, deformed_norms, obs.scan_verts, obs.scan_faces,
+                scan_face_normals,
+            )
         sm = normal_laplacian_smoothness(deformed_norms, faces)
         return icp + (nl + sm) * obs.constant_scale * 0.1
 

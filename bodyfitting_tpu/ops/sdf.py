@@ -1,0 +1,155 @@
+"""Precomputed distance volumes for fast point-to-mesh queries.
+
+TPU-first acceleration of the scan-fitting losses: the target scan is
+*static* for the whole fit, so instead of an O(Q x F) nearest-point sweep
+every Adam iteration (the reference re-runs its CUDA grid search per
+iteration, smplify/smplify.py:206,239), we precompute — once per scan —
+
+  * a trilinear **unsigned distance volume** and
+  * a **nearest-face-index volume**
+
+on a padded uniform grid with the existing blocked nearest-point sweep.
+Each fitting iteration then costs O(Q) gathers + lerps.  The gradient of
+the interpolated distance w.r.t. the query point approximates the
+normalized direction to the surface — exactly the gradient the reference's
+``||p - closest.detach()||`` construction produces — and the nearest-face
+volume supplies the face normals for the SMPL+D normal loss.
+
+Accuracy is bounded by the cell size (resolution 64-128 gives sub-1% of
+the bounding-box diagonal); the exact sweep remains available via
+``FitConfig(mesh_loss_impl='exact')``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bodyfitting_tpu.ops.nearest import nearest_point_on_mesh
+
+
+@dataclasses.dataclass(frozen=True)
+class DistanceVolume:
+    dist: jax.Array        # [R, R, R] unsigned distances
+    face_idx: jax.Array    # [R, R, R] int32 nearest face per cell center
+    origin: jax.Array      # [3] world position of cell (0,0,0) center
+    spacing: jax.Array     # scalar cell size
+
+    @property
+    def resolution(self) -> int:
+        return self.dist.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    DistanceVolume,
+    data_fields=["dist", "face_idx", "origin", "spacing"],
+    meta_fields=[],
+)
+
+
+def build_distance_volume(
+    verts: jax.Array,
+    faces: jax.Array,
+    resolution: int = 96,
+    padding: float = 0.15,
+    face_block: int = 1024,
+    point_chunk: int = 65536,
+) -> DistanceVolume:
+    """One-time exact sweep over all grid cell centers.
+
+    ``padding`` extends the grid beyond the mesh AABB by that fraction of
+    the largest extent, so early-iteration query points off the surface
+    still land inside the volume (outside points are clamped at query
+    time, under-estimating distance — gradients still point inward).
+    """
+    vmin = verts.min(axis=0)
+    vmax = verts.max(axis=0)
+    extent = jnp.max(vmax - vmin)
+    pad = extent * padding
+    lo = vmin - pad
+    hi = vmax + pad
+    spacing = jnp.max(hi - lo) / (resolution - 1)
+    axes = [lo[i] + spacing * jnp.arange(resolution) for i in range(3)]
+    grid = jnp.stack(
+        jnp.meshgrid(*axes, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+
+    dists = []
+    fids = []
+    for start in range(0, grid.shape[0], point_chunk):
+        chunk = grid[start:start + point_chunk]
+        _, fid, d2 = nearest_point_on_mesh(
+            chunk, verts, faces, face_block=face_block
+        )
+        dists.append(jnp.sqrt(d2))
+        fids.append(fid)
+    R = resolution
+    return DistanceVolume(
+        dist=jnp.concatenate(dists).reshape(R, R, R),
+        face_idx=jnp.concatenate(fids).reshape(R, R, R),
+        origin=lo,
+        spacing=spacing,
+    )
+
+
+def query_distance(volume: DistanceVolume, points: jax.Array) -> jax.Array:
+    """Trilinear unsigned distance at ``points [Q, 3]`` (differentiable)."""
+    R = volume.resolution
+    g = (points - volume.origin) / volume.spacing
+    g = jnp.clip(g, 0.0, R - 1 - 1e-5)
+    g0 = jnp.floor(g)
+    w = g - g0
+    i0 = g0.astype(jnp.int32)
+
+    def tap(dx, dy, dz):
+        idx = jnp.minimum(i0 + jnp.array([dx, dy, dz]), R - 1)
+        return volume.dist[idx[:, 0], idx[:, 1], idx[:, 2]]
+
+    wx, wy, wz = w[:, 0], w[:, 1], w[:, 2]
+    return (
+        tap(0, 0, 0) * (1 - wx) * (1 - wy) * (1 - wz)
+        + tap(1, 0, 0) * wx * (1 - wy) * (1 - wz)
+        + tap(0, 1, 0) * (1 - wx) * wy * (1 - wz)
+        + tap(0, 0, 1) * (1 - wx) * (1 - wy) * wz
+        + tap(1, 1, 0) * wx * wy * (1 - wz)
+        + tap(1, 0, 1) * wx * (1 - wy) * wz
+        + tap(0, 1, 1) * (1 - wx) * wy * wz
+        + tap(1, 1, 1) * wx * wy * wz
+    )
+
+
+def query_nearest_face(volume: DistanceVolume,
+                       points: jax.Array) -> jax.Array:
+    """Nearest-face index from the cell containing each point (rounded)."""
+    R = volume.resolution
+    g = (points - volume.origin) / volume.spacing
+    i = jnp.clip(jnp.round(g), 0, R - 1).astype(jnp.int32)
+    return volume.face_idx[i[:, 0], i[:, 1], i[:, 2]]
+
+
+def point_cloud_loss_sdf(points: jax.Array,
+                         volume: DistanceVolume) -> jax.Array:
+    """Frobenius point-to-surface term via the distance volume.
+
+    Matches the reference semantics (loss.py:233-242: a single L2 norm of
+    the stacked residual magnitudes): ``sqrt(sum_i d_i^2)``.
+    """
+    d = query_distance(volume, points.reshape(-1, 3))
+    return jnp.sqrt(jnp.sum(d * d) + 1e-20)
+
+
+def normal_loss_sdf(
+    points: jax.Array,
+    point_normals: jax.Array,
+    volume: DistanceVolume,
+    scan_face_normals: jax.Array,
+) -> jax.Array:
+    """Normal agreement term with the nearest face from the volume."""
+    fid = query_nearest_face(volume, points.reshape(-1, 3))
+    closest_fn = scan_face_normals[fid]
+    return jnp.mean(
+        1.0 - jnp.sum(closest_fn * point_normals.reshape(-1, 3), axis=-1)
+    )

@@ -1,0 +1,121 @@
+"""Distance-volume tests: accuracy vs exact sweep, gradients, fit parity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bodyfitting_tpu.ops import sdf
+from bodyfitting_tpu.ops.nearest import nearest_point_on_mesh
+
+
+@pytest.fixture(scope="module")
+def sphere_mesh(rng=None):
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(80, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    from scipy.spatial import ConvexHull
+
+    hull = ConvexHull(pts)
+    return (
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray(hull.simplices.astype(np.int32)),
+    )
+
+
+def test_distance_volume_matches_exact(sphere_mesh, rng):
+    verts, faces = sphere_mesh
+    vol = sdf.build_distance_volume(verts, faces, resolution=64)
+    q = jnp.asarray(
+        rng.uniform(-1.1, 1.1, size=(200, 3)).astype(np.float32)
+    )
+    approx = np.asarray(sdf.query_distance(vol, q))
+    _, _, d2 = nearest_point_on_mesh(q, verts, faces)
+    exact = np.sqrt(np.asarray(d2))
+    # accuracy bounded by the cell size (~2.6/63 ~ 0.04)
+    assert np.abs(approx - exact).max() < 0.06
+    assert np.abs(approx - exact).mean() < 0.015
+
+
+def test_distance_gradient_points_to_surface(sphere_mesh):
+    verts, faces = sphere_mesh
+    vol = sdf.build_distance_volume(verts, faces, resolution=64)
+    # outside the unit sphere, the distance gradient points radially out
+    # points must lie inside the padded volume (extends to ~1.3)
+    q = jnp.asarray([[0.0, 0.0, 1.25], [1.2, 0.0, 0.0]])
+    g = jax.jacobian(lambda p: sdf.query_distance(vol, p).sum())(q)
+    g = np.array(g)
+    g = g / np.linalg.norm(g, axis=1, keepdims=True)
+    # faceted hull: the true nearest direction is not exactly radial
+    assert g[0, 2] > 0.9 and g[1, 0] > 0.9
+    np.testing.assert_allclose(np.linalg.norm(g, axis=1), 1.0, atol=1e-3)
+
+
+def test_nearest_face_volume(sphere_mesh):
+    verts, faces = sphere_mesh
+    vol = sdf.build_distance_volume(verts, faces, resolution=64)
+    q = jnp.asarray([[0.0, 0.0, 1.2]])
+    fid = int(sdf.query_nearest_face(vol, q)[0])
+    # the reported face should be near the +z pole
+    centroid = np.asarray(verts)[np.asarray(faces)[fid]].mean(0)
+    assert centroid[2] > 0.7
+
+
+def test_sdf_fit_matches_exact_fit():
+    """SMPL+D fit with the SDF path lands on (almost) the same surface."""
+    from bodyfitting_tpu.fitting import smplify
+    from bodyfitting_tpu.models import body_model as bm
+
+    model = bm.spin_joint_mapper_for_smpl(
+        bm.synthetic_model("smpl", num_verts=96, seed=5)
+    )
+    rng = np.random.default_rng(0)
+    scan_out = bm.forward(model, bm.BodyParams.zeros(model))
+    scan_verts = scan_out.vertices * 0.3
+    height = float(scan_verts[:, 1].max() - scan_verts[:, 1].min())
+
+    K = jnp.asarray([[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]])
+    w2c = jnp.eye(4).at[2, 3].set(3.0)
+    from bodyfitting_tpu.ops.camera import perspective_projection
+
+    joints = scan_out.joints * 0.3
+    uv = perspective_projection(
+        joints[:25][None], w2c[None, :3, :3], w2c[None, :3, 3], K[None]
+    )[0]
+    kps = jnp.concatenate([uv, jnp.ones_like(uv[:, :1])], 1)
+
+    base = smplify.Observations(
+        w2cs=w2c[None], Ks=K[None], keypoints=kps[None],
+        view_mask=jnp.ones(1), constant_scale=jnp.asarray(0.3),
+        scan_verts=scan_verts, scan_faces=model.faces,
+        scan_height=jnp.asarray(height),
+    )
+    vol = sdf.build_distance_volume(scan_verts, model.faces, resolution=48)
+    obs_sdf = dataclasses.replace(base, scan_volume=vol)
+
+    prior = lambda p: jnp.zeros(p.shape[:-1], p.dtype)  # noqa: E731
+    init = smplify.FitParams.init(model)
+    cfg_exact = smplify.FitConfig(
+        num_iters=45, imsize=256.0, use_mesh=True, displacement=True,
+        mesh_loss_impl="exact",
+    )
+    cfg_sdf = smplify.FitConfig(
+        num_iters=45, imsize=256.0, use_mesh=True, displacement=True,
+        mesh_loss_impl="sdf",
+    )
+    _, res_e, _ = jax.jit(
+        lambda o, i: smplify.fit(model, cfg_exact, o, i, prior)
+    )(base, init)
+    _, res_s, _ = jax.jit(
+        lambda o, i: smplify.fit(model, cfg_sdf, o, i, prior)
+    )(obs_sdf, init)
+
+    # both runs converge to nearby surfaces
+    dv = np.abs(
+        np.asarray(res_e["vertices"]) - np.asarray(res_s["vertices"])
+    )
+    assert dv.mean() < 0.02 * height
+    assert "displacement" in res_s
+    assert np.isfinite(np.asarray(res_s["displacement"])).all()
