@@ -41,6 +41,13 @@ class TextureFitConfig:
     round_view_iters: int = 5      # cycles over the round views first
     face_block: int = 256
     seed: int = 0
+    # geometry is FIXED during texture optimisation, so every unique
+    # camera's raster maps and scan render can be computed once; each Adam
+    # iteration is then pure differentiable sampling.  Pays off when the
+    # schedule revisits poses (iter_num >> unique poses, e.g. round-view
+    # only); the reference schedule is ~64% unique, where re-rasterising
+    # is on par, so the default keeps the reference behaviour.
+    precompute: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -202,7 +209,7 @@ def fit_texture(
     per-iteration camera schedule is precomputed on host.
     """
     center, _, dist = scene_bounds(np.asarray(scan_verts))
-    poses = jnp.asarray(training_pose_schedule(config, center, dist))
+    poses_np = training_pose_schedule(config, center, dist)
     K = jnp.asarray(default_K(config.render_img_size))
 
     S = config.tex_img_size
@@ -219,6 +226,74 @@ def fit_texture(
     scan_texture_j = jnp.asarray(scan_texture)
 
     tx = optax.adam(config.lr)
+
+    if config.precompute:
+        # Deduplicate the schedule (the round phase revisits each ring
+        # camera round_view_iters times), rasterize each unique pose once.
+        uniq, pose_index = np.unique(
+            poses_np.reshape(len(poses_np), -1), axis=0,
+            return_inverse=True,
+        )
+        uniq_poses = jnp.asarray(
+            uniq.reshape(-1, 4, 4), jnp.float32
+        )
+        pose_index = jnp.asarray(pose_index.astype(np.int32))
+
+        def maps_for_pose(w2c):
+            scan_img, _ = render_textured(
+                scan_verts_j, scan_faces_j, scan_face_uvs_j,
+                scan_texture_j, w2c, K, config.render_img_size,
+                config.face_block,
+            )
+            px, fz = rz.project_faces(smpl_verts, smpl_faces, w2c, K)
+            raster = rz.rasterize(
+                px, fz, config.render_img_size,
+                face_block=config.face_block,
+            )
+            uv_map = rz.interpolate_uvs(raster, smpl_face_uvs)
+            return scan_img, uv_map, raster.face_idx >= 0
+
+        # host loop over the jitted per-pose map: one compile, short calls
+        # (lax.map would nest the raster scan and explode compile time)
+        maps_jit = jax.jit(maps_for_pose)
+        per_pose = [maps_jit(uniq_poses[i])
+                    for i in range(uniq_poses.shape[0])]
+        scan_imgs, uv_maps, fgs = (
+            jnp.stack([m[k] for m in per_pose]) for k in range(3)
+        )
+
+        # maps are explicit jit arguments (closure capture would embed
+        # them as constants in the compiled program)
+        def step_with(maps):
+            scan_imgs_, uv_maps_, fgs_ = maps
+
+            def step(carry, idx):
+                tex, opt_state = carry
+
+                def loss_fn(t):
+                    smpl_img = rz.sample_texture_uvmap(
+                        uv_maps_[idx], fgs_[idx], t, background=1.0
+                    )
+                    return jnp.sum(jnp.abs(scan_imgs_[idx] - smpl_img))
+
+                loss, grads = jax.value_and_grad(loss_fn)(tex)
+                updates, opt_state = tx.update(grads, opt_state, tex)
+                tex = optax.apply_updates(tex, updates)
+                return (jnp.clip(tex, 0.0, 1.0), opt_state), loss
+
+            return step
+
+        @jax.jit
+        def run(tex0, maps, idx_seq):
+            opt_state = tx.init(tex0)
+            (tex, _), losses = jax.lax.scan(
+                step_with(maps), (tex0, opt_state), idx_seq
+            )
+            return tex, losses
+
+        return run(init_texture, (scan_imgs, uv_maps, fgs), pose_index)
+
+    poses = jnp.asarray(poses_np)
 
     def step(carry, w2c):
         tex, opt_state = carry

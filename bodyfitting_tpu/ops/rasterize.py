@@ -194,28 +194,25 @@ def render_depth(raster: RasterOut, background: float = 0.0) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def sample_texture(
-    raster: RasterOut,
-    face_uvs: jax.Array,
-    texture: jax.Array,
-    background=0.0,
-) -> jax.Array:
-    """Render by sampling a UV texture image.
-
-    Args:
-      face_uvs: ``[F, 3, 2]`` per-face-vertex UVs in [0, 1] (v up).
-      texture: ``[Th, Tw, C]`` texture image.
-    Differentiable w.r.t. ``texture`` (bilinear) and ``face_uvs``.
-    """
+def interpolate_uvs(raster: RasterOut, face_uvs: jax.Array) -> jax.Array:
+    """Per-pixel interpolated UV coords ``[H, W, 2]`` (0 where background)."""
     H, W = raster.face_idx.shape
-    Th, Tw = texture.shape[:2]
     idx = jnp.maximum(raster.face_idx.reshape(-1), 0)
     uvs = jnp.einsum(
         "pvc,pv->pc", face_uvs[idx], raster.bary.reshape(-1, 3)
-    )                                                       # [P, 2]
-    # UV -> texel coords ((0,0) = bottom-left of the image, OBJ convention)
-    x = uvs[:, 0] * (Tw - 1)
-    y = (1.0 - uvs[:, 1]) * (Th - 1)
+    )
+    return uvs.reshape(H, W, 2)
+
+
+def bilinear_sample_uv(texture: jax.Array, uvs: jax.Array) -> jax.Array:
+    """Bilinear texture lookup at UVs ``[..., 2]`` (OBJ convention: v up).
+
+    Differentiable w.r.t. both the texture and the UVs.
+    """
+    Th, Tw = texture.shape[:2]
+    flat = uvs.reshape(-1, 2)
+    x = flat[:, 0] * (Tw - 1)
+    y = (1.0 - flat[:, 1]) * (Th - 1)
     x0 = jnp.clip(jnp.floor(x), 0, Tw - 1)
     y0 = jnp.clip(jnp.floor(y), 0, Th - 1)
     x1 = jnp.clip(x0 + 1, 0, Tw - 1)
@@ -232,8 +229,34 @@ def sample_texture(
         + tap(x0, y1) * (1 - wx) * wy
         + tap(x1, y1) * wx * wy
     )
-    fg = (raster.face_idx.reshape(-1) >= 0)[:, None]
-    return jnp.where(fg, val, background).reshape(H, W, -1)
+    return val.reshape(uvs.shape[:-1] + (texture.shape[-1],))
+
+
+def sample_texture_uvmap(
+    uv_map: jax.Array, fg: jax.Array, texture: jax.Array, background=0.0
+) -> jax.Array:
+    """Render from a precomputed per-pixel UV map + coverage mask."""
+    val = bilinear_sample_uv(texture, uv_map)
+    return jnp.where(fg[..., None], val, background)
+
+
+def sample_texture(
+    raster: RasterOut,
+    face_uvs: jax.Array,
+    texture: jax.Array,
+    background=0.0,
+) -> jax.Array:
+    """Render by sampling a UV texture image.
+
+    Args:
+      face_uvs: ``[F, 3, 2]`` per-face-vertex UVs in [0, 1] (v up).
+      texture: ``[Th, Tw, C]`` texture image.
+    Differentiable w.r.t. ``texture`` (bilinear) and ``face_uvs``.
+    """
+    uv_map = interpolate_uvs(raster, face_uvs)
+    return sample_texture_uvmap(
+        uv_map, raster.face_idx >= 0, texture, background
+    )
 
 
 # ---------------------------------------------------------------------------
