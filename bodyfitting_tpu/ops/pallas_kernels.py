@@ -216,7 +216,9 @@ def nearest_point_on_mesh_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _raster_kernel(pix_x_ref, pix_y_ref, face_ref, depth_ref, fidx_ref):
+def _raster_kernel(tile_y_ref, blk_y_ref, pix_x_ref, pix_y_ref, face_ref,
+                   depth_ref, fidx_ref):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     fb = face_ref.shape[1]
 
@@ -225,6 +227,20 @@ def _raster_kernel(pix_x_ref, pix_y_ref, face_ref, depth_ref, fidx_ref):
         depth_ref[:] = jnp.full_like(depth_ref, _FAR)
         fidx_ref[:] = jnp.full_like(fidx_ref, -1)
 
+    # spatial cull: faces are y-sorted, so whole blocks miss most tiles
+    # (tile/block y-ranges come in via scalar prefetch)
+    overlap = (blk_y_ref[j, 0] <= tile_y_ref[i, 1]) & (
+        blk_y_ref[j, 1] >= tile_y_ref[i, 0]
+    )
+
+    @pl.when(overlap)
+    def _body():
+        _raster_block(pix_x_ref, pix_y_ref, face_ref, depth_ref, fidx_ref,
+                      j, fb)
+
+
+def _raster_block(pix_x_ref, pix_y_ref, face_ref, depth_ref, fidx_ref,
+                  j, fb):
     px = pix_x_ref[:, 0:1]                                # [TP, 1]
     py = pix_y_ref[:, 0:1]
 
@@ -280,20 +296,39 @@ def rasterize_zbuf(
     fb = _cdiv(F, face_block)
     fpad = fb * face_block - F
 
+    # sort faces by y centroid: blocks become spatially coherent, so the
+    # kernel's per-(tile, block) y-overlap cull skips most programs
+    y_centroid = face_px[:, :, 1].mean(axis=1)
+    order = jnp.argsort(y_centroid)
+    face_px_s = face_px[order]
+    face_z_s = face_z[order]
+
     eps = 1e-9
-    front = (face_z > eps).all(axis=1)
-    iz = 1.0 / jnp.maximum(face_z, eps)                   # [F, 3]
+    front = (face_z_s > eps).all(axis=1)
+    iz = 1.0 / jnp.maximum(face_z_s, eps)                 # [F, 3]
     soa = jnp.concatenate(
         [
-            face_px[:, 0], face_px[:, 1], face_px[:, 2],  # [F,2] each
+            face_px_s[:, 0], face_px_s[:, 1], face_px_s[:, 2],
             iz,                                           # [F,3]
             front[:, None].astype(face_px.dtype),         # [F,1]
         ],
         axis=1,
     ).T                                                   # [10, F]
+    # per-face y extent (invalid faces excluded from block ranges)
+    fy_min = jnp.where(front, face_px_s[:, :, 1].min(1), jnp.inf)
+    fy_max = jnp.where(front, face_px_s[:, :, 1].max(1), -jnp.inf)
     if fpad:
         pad = jnp.zeros((10, fpad), soa.dtype)
         soa = jnp.concatenate([soa, pad], axis=1)
+        fy_min = jnp.concatenate([fy_min, jnp.full((fpad,), jnp.inf)])
+        fy_max = jnp.concatenate([fy_max, jnp.full((fpad,), -jnp.inf)])
+    blk_y = jnp.stack(
+        [
+            fy_min.reshape(fb, face_block).min(1),
+            fy_max.reshape(fb, face_block).max(1),
+        ],
+        axis=1,
+    ).astype(face_px.dtype)                               # [fb, 2]
 
     P = H * W
     pt = _cdiv(P, pixel_tile)
@@ -303,33 +338,50 @@ def rasterize_zbuf(
     if ppad:
         xs = jnp.concatenate([xs, jnp.full((ppad,), -1e6, xs.dtype)])
         ys = jnp.concatenate([ys, jnp.full((ppad,), -1e6, ys.dtype)])
+    tile_y = jnp.stack(
+        [
+            ys.reshape(pt, pixel_tile).min(1),
+            ys.reshape(pt, pixel_tile).max(1),
+        ],
+        axis=1,
+    ).astype(face_px.dtype)                               # [pt, 2]
     xs = xs[:, None]
     ys = ys[:, None]
 
-    depth, fidx = pl.pallas_call(
-        _raster_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,       # tile_y, blk_y live in SMEM, full
         grid=(pt, fb),
         in_specs=[
-            pl.BlockSpec((pixel_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((pixel_tile, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pixel_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((pixel_tile, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((10, face_block), lambda i, j: (0, j),
+            pl.BlockSpec((10, face_block), lambda i, j, *_: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((pixel_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((pixel_tile, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pixel_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((pixel_tile, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    depth, fidx = pl.pallas_call(
+        _raster_kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((pt * pixel_tile, 1), face_px.dtype),
             jax.ShapeDtypeStruct((pt * pixel_tile, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(xs, ys, soa)
-    return depth[:P, 0].reshape(H, W), fidx[:P, 0].reshape(H, W)
+    )(tile_y, blk_y, xs, ys, soa)
+    depth = depth[:P, 0].reshape(H, W)
+    fidx = fidx[:P, 0].reshape(H, W)
+    # map sorted indices back to the caller's face numbering
+    fidx = jnp.where(
+        fidx >= 0, order.astype(jnp.int32)[jnp.maximum(fidx, 0)], -1
+    )
+    return depth, fidx
 
 
 def auto_rasterize(face_px, face_z, image_size, face_block: int = 256):
