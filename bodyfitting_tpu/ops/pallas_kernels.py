@@ -46,7 +46,9 @@ def _cdiv(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _nearest_kernel(q_ref, tri_ref, d2_ref, idx_ref):
+def _nearest_kernel(tile_aabb_ref, blk_aabb_ref, tile_ub_ref, q_ref,
+                    tri_ref, d2_ref, idx_ref):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     fb = tri_ref.shape[1]
 
@@ -55,6 +57,26 @@ def _nearest_kernel(q_ref, tri_ref, d2_ref, idx_ref):
         d2_ref[:] = jnp.full_like(d2_ref, _FAR)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
+    # block cull: squared AABB-AABB distance vs the tile's upper bound
+    # (a sampled-face prepass guarantees every query in the tile has a
+    # neighbour within sqrt(ub), so farther blocks cannot win)
+    d2_lb = jnp.zeros((), jnp.float32)
+    for a in range(3):
+        gap = jnp.maximum(
+            jnp.maximum(
+                blk_aabb_ref[j, a] - tile_aabb_ref[i, a + 3],
+                tile_aabb_ref[i, a] - blk_aabb_ref[j, a + 3],
+            ),
+            0.0,
+        )
+        d2_lb = d2_lb + gap * gap
+
+    @pl.when(d2_lb <= tile_ub_ref[i, 0])
+    def _body():
+        _nearest_block(q_ref, tri_ref, d2_ref, idx_ref, j, fb)
+
+
+def _nearest_block(q_ref, tri_ref, d2_ref, idx_ref, j, fb):
     px = q_ref[:, 0:1]                 # [TQ, 1]
     py = q_ref[:, 1:2]
     pz = q_ref[:, 2:3]
@@ -126,60 +148,138 @@ def _nearest_kernel(q_ref, tri_ref, d2_ref, idx_ref):
     )
 
 
+def _morton_codes(pts: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """30-bit Morton codes for 3D points (10 bits per axis)."""
+    g = jnp.clip(
+        (pts - lo) / jnp.maximum(hi - lo, 1e-12) * 1023.0, 0.0, 1023.0
+    ).astype(jnp.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    return (
+        spread(g[:, 0]) | (spread(g[:, 1]) << 1) | (spread(g[:, 2]) << 2)
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("query_tile", "face_block", "interpret")
+    jax.jit,
+    static_argnames=("query_tile", "face_block", "ub_samples", "interpret"),
 )
 def nearest_d2_idx(
     points: jax.Array,
-    tri_soa: jax.Array,
+    tri: jax.Array,
     query_tile: int = 256,
     face_block: int = 512,
+    ub_samples: int = 512,
     interpret: bool = False,
 ):
     """Min distance^2 + winning face index for each query.
 
-    points: ``[Q, 3]``; tri_soa: ``[9, F]`` component rows (ax ay az bx ...),
-    padded faces must hold huge coordinates so they never win.
-    Returns ``(d2 [Q], idx [Q] int32)``.
+    points ``[Q, 3]``, tri ``[F, 3, 3]``.  Returns ``(d2 [Q], idx [Q])``.
+
+    Faces are Morton-sorted so face blocks have tight 3D AABBs; a
+    sampled-face prepass gives each query tile a distance upper bound,
+    and the kernel skips any block whose AABB lies beyond it.
     """
+    from bodyfitting_tpu.ops.nearest import closest_point_on_triangles
+
     Q = points.shape[0]
-    F = tri_soa.shape[1]
+    F = tri.shape[0]
     qt = _cdiv(Q, query_tile)
     fb = _cdiv(F, face_block)
     qpad = qt * query_tile - Q
     fpad = fb * face_block - F
+
+    # Morton-sort faces by centroid AND queries, so both query tiles and
+    # face blocks have tight AABBs (the cull needs both)
+    centroid = tri.mean(axis=1)
+    lo = centroid.min(0)
+    hi = centroid.max(0)
+    order = jnp.argsort(_morton_codes(centroid, lo, hi))
+    tri_s = tri[order]
+    q_order = jnp.argsort(_morton_codes(points, lo, hi))
+    points = points[q_order]
+
+    # per-tile upper bound: exact distance to a strided face subsample
+    stride = max(1, F // ub_samples)
+    samp = tri_s[::stride]
+    cp = closest_point_on_triangles(
+        points[:, None, :], samp[None, :, 0], samp[None, :, 1],
+        samp[None, :, 2],
+    )
+    ub_q = jnp.min(
+        jnp.sum((points[:, None, :] - cp) ** 2, -1), axis=1
+    )                                                      # [Q]
     if qpad:
         points = jnp.concatenate(
             [points, jnp.zeros((qpad, 3), points.dtype)]
         )
-    if fpad:
-        tri_soa = jnp.concatenate(
-            [tri_soa, jnp.full((9, fpad), 1e15, tri_soa.dtype)], axis=1
-        )
+        # padded queries inherit a tiny bound so they never block culling
+        ub_q = jnp.concatenate([ub_q, jnp.zeros((qpad,), ub_q.dtype)])
+    tile_ub = ub_q.reshape(qt, query_tile).max(1)[:, None] * (1 + 1e-5)
 
-    grid = (qt, fb)
-    d2, idx = pl.pallas_call(
-        _nearest_kernel,
-        grid=grid,
+    tile_pts = points.reshape(qt, query_tile, 3)
+    tile_aabb = jnp.concatenate(
+        [tile_pts.min(1), tile_pts.max(1)], axis=1
+    )                                                      # [qt, 6]
+
+    soa = tri_s.reshape(F, 9).T                            # [9, F]
+    blk_min = tri_s.min(axis=1)                            # [F, 3]
+    blk_max = tri_s.max(axis=1)
+    if fpad:
+        soa = jnp.concatenate(
+            [soa, jnp.full((9, fpad), 1e15, soa.dtype)], axis=1
+        )
+        blk_min = jnp.concatenate(
+            [blk_min, jnp.full((fpad, 3), 1e15, blk_min.dtype)]
+        )
+        blk_max = jnp.concatenate(
+            [blk_max, jnp.full((fpad, 3), 1e15, blk_max.dtype)]
+        )
+    blk_aabb = jnp.concatenate(
+        [
+            blk_min.reshape(fb, face_block, 3).min(1),
+            blk_max.reshape(fb, face_block, 3).max(1),
+        ],
+        axis=1,
+    )                                                      # [fb, 6]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,       # tile_aabb, blk_aabb, tile_ub
+        grid=(qt, fb),
         in_specs=[
-            pl.BlockSpec((query_tile, 3), lambda i, j: (i, 0),
+            pl.BlockSpec((query_tile, 3), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, face_block), lambda i, j: (0, j),
+            pl.BlockSpec((9, face_block), lambda i, j, *_: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((query_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((query_tile, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((query_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((query_tile, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    d2, idx = pl.pallas_call(
+        _nearest_kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((qt * query_tile, 1), points.dtype),
             jax.ShapeDtypeStruct((qt * query_tile, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(points, tri_soa)
-    return d2[:Q, 0], idx[:Q, 0]
+    )(tile_aabb, blk_aabb, tile_ub, points, soa)
+    # undo both sorts: face ids back to caller numbering, results back to
+    # the caller's query order
+    idx = order.astype(jnp.int32)[idx[:Q, 0]]
+    d2 = d2[:Q, 0]
+    inv_q = jnp.argsort(q_order)
+    return d2[inv_q], idx[inv_q]
 
 
 def tris_to_soa(verts: jax.Array, faces: jax.Array) -> jax.Array:
@@ -188,6 +288,9 @@ def tris_to_soa(verts: jax.Array, faces: jax.Array) -> jax.Array:
     return tri.reshape(tri.shape[0], 9).T
 
 
+@functools.partial(
+    jax.jit, static_argnames=("query_tile", "face_block", "interpret")
+)
 def nearest_point_on_mesh_pallas(
     points: jax.Array,
     verts: jax.Array,
@@ -199,10 +302,9 @@ def nearest_point_on_mesh_pallas(
     """Drop-in Pallas version of ``ops.nearest.nearest_point_on_mesh``."""
     from bodyfitting_tpu.ops.nearest import closest_point_on_triangles
 
-    soa = tris_to_soa(verts, faces)
     d2, idx = nearest_d2_idx(
-        points, soa, query_tile=query_tile, face_block=face_block,
-        interpret=interpret,
+        points, verts[faces], query_tile=query_tile,
+        face_block=face_block, interpret=interpret,
     )
     tri = verts[faces[idx]]                               # [Q, 3, 3]
     pt = closest_point_on_triangles(

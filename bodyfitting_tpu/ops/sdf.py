@@ -77,11 +77,18 @@ def build_distance_volume(
         jnp.meshgrid(*axes, indexing="ij"), axis=-1
     ).reshape(-1, 3)
 
+    if jax.default_backend() == "tpu":
+        from bodyfitting_tpu.ops.pallas_kernels import (
+            nearest_point_on_mesh_pallas as nearest_fn,
+        )
+    else:
+        nearest_fn = nearest_point_on_mesh
+
     dists = []
     fids = []
     for start in range(0, grid.shape[0], point_chunk):
         chunk = grid[start:start + point_chunk]
-        _, fid, d2 = nearest_point_on_mesh(
+        _, fid, d2 = nearest_fn(
             chunk, verts, faces, face_block=face_block
         )
         dists.append(jnp.sqrt(d2))
