@@ -1,0 +1,209 @@
+"""Extended benchmark: all five BASELINE.json workload configs on one chip.
+
+Prints a human-readable table (stderr-free; run ad hoc).  ``bench.py``
+remains the driver-facing single-line benchmark.
+
+Configs (BASELINE.json):
+  1. single-frame neutral SMPL, 4 views, keypoint + GMM only
+  2. SMPL-X with hands + face (batched frames)
+  3. silhouette-augmented fit (--use_mask)
+  4. SMPL+D fit to a scan (point-cloud + displacement stages)
+  5. 150-frame sequence fit + texture optimization
+"""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _ring(n_views, imsize=512.0, focal=500.0, dist=3.0):
+    w2cs, Ks = [], []
+    for th in np.linspace(0, 2 * np.pi, n_views, endpoint=False):
+        eye = np.array([dist * np.sin(th), 0, dist * np.cos(th)])
+        z = -eye / np.linalg.norm(eye)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.eye(4)
+        c2w[:3, :3] = np.stack([x, y, z], 1)
+        c2w[:3, 3] = eye
+        w2cs.append(np.linalg.inv(c2w))
+        Ks.append([[focal, 0, imsize / 2], [0, focal, imsize / 2],
+                   [0, 0, 1]])
+    return (jnp.asarray(np.stack(w2cs), jnp.float32),
+            jnp.asarray(np.asarray(Ks), jnp.float32))
+
+
+def _obs(model, rng, n_views=4, n_frames=1, use_mask=False, scan=None):
+    import dataclasses
+
+    from bodyfitting_tpu.fitting import smplify
+
+    w2cs, Ks = _ring(n_views)
+    K = 135 if model.model_type == "smplx" else 25
+    kps = jnp.asarray(
+        rng.uniform(100, 400, size=(n_views, K, 3)), jnp.float32
+    )
+    obs = smplify.Observations(
+        w2cs=w2cs, Ks=Ks, keypoints=kps, view_mask=jnp.ones(n_views),
+        constant_scale=jnp.asarray(0.3),
+    )
+    if use_mask:
+        from bodyfitting_tpu.losses.silhouette import extract_contours
+
+        masks = np.zeros((2, 512, 512), np.float32)
+        masks[:, 100:400, 180:330] = 255
+        contours, valid = extract_contours(list(masks), pad_to=4096)
+        obs = dataclasses.replace(
+            obs,
+            masks=jnp.asarray(masks / 255.0),
+            mask_w2cs=w2cs[:2], mask_Ks=Ks[:2],
+            contours=jnp.asarray(contours),
+            contour_valid=jnp.asarray(valid),
+        )
+    if scan is not None:
+        from bodyfitting_tpu.ops.sdf import build_distance_volume
+
+        sv, sf = scan
+        obs = dataclasses.replace(
+            obs,
+            scan_verts=sv, scan_faces=sf,
+            scan_height=jnp.asarray(
+                float(sv[:, 1].max() - sv[:, 1].min())
+            ),
+            scan_volume=build_distance_volume(sv, sf, resolution=96),
+        )
+    if n_frames > 1:
+        obs = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_frames,) + x.shape), obs
+        )
+    return obs
+
+
+def _time_fit(model, config, obs, init, prior, batched, iters, label):
+    from bodyfitting_tpu.fitting import smplify
+
+    if batched:
+        fit = jax.jit(jax.vmap(
+            lambda o, i: smplify.fit(model, config, o, i, prior)
+        ))
+    else:
+        fit = jax.jit(
+            lambda o, i: smplify.fit(model, config, o, i, prior)
+        )
+    t0 = time.perf_counter()
+    _, _, losses = fit(obs, init)
+    losses.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    runs = 3
+    for _ in range(runs):
+        _, _, losses = fit(obs, init)
+        losses.block_until_ready()
+    dt = (time.perf_counter() - t0) / runs
+    n_frames = losses.shape[0] if batched else 1
+    print(
+        f"{label}: {iters} iters x {n_frames} frames in {dt * 1e3:.0f}ms "
+        f"({iters / dt:.0f} it/s/frame, compile {compile_s:.0f}s, "
+        f"{n_frames * (iters / dt) / 600:.2f} 600-iter fits/s/chip)"
+    )
+    return dt
+
+
+def main():
+    from bodyfitting_tpu import constants
+    from bodyfitting_tpu.fitting import smplify
+    from bodyfitting_tpu.losses.priors import synthetic_gmm_prior
+    from bodyfitting_tpu.models import body_model as bm
+
+    rng = np.random.default_rng(0)
+    prior = synthetic_gmm_prior()
+    iters = 100
+
+    print(f"devices: {jax.devices()}")
+
+    # config 1: neutral SMPL, 4 views, keypoints + GMM
+    smpl = bm.spin_joint_mapper_for_smpl(
+        bm.synthetic_model("smpl", num_verts=constants.SMPL_NUM_VERTS)
+    )
+    cfg = smplify.FitConfig(num_iters=iters)
+    _time_fit(
+        smpl, cfg, _obs(smpl, rng), smplify.FitParams.init(smpl), prior,
+        False, iters, "config1 smpl 4-view keypoint",
+    )
+
+    # config 2: SMPL-X hands+face, batched
+    smplx = bm.synthetic_model(
+        "smplx", num_verts=constants.SMPLX_NUM_VERTS
+    )
+    B = 64
+    obs2 = _obs(smplx, rng, n_frames=B)
+    init2 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+        smplify.FitParams.init(smplx),
+    )
+    _time_fit(smplx, cfg, obs2, init2, prior, True, iters,
+              f"config2 smplx batch{B}")
+
+    # config 3: + silhouette
+    cfg3 = smplify.FitConfig(num_iters=iters, use_mask=True)
+    _time_fit(
+        smpl, cfg3, _obs(smpl, rng, use_mask=True),
+        smplify.FitParams.init(smpl), prior, False, iters,
+        "config3 smpl + mask",
+    )
+
+    # config 4: SMPL+D scan fit (SDF and exact)
+    scan_v = jnp.asarray(
+        rng.normal(size=(40000, 3)).astype(np.float32) * 0.3
+    )
+    scan_f = jnp.asarray(
+        rng.integers(0, 40000, size=(80000, 3)).astype(np.int32)
+    )
+    t0 = time.perf_counter()
+    obs4 = _obs(smpl, rng, scan=(scan_v, scan_f))
+    jax.block_until_ready(obs4.scan_volume.dist)
+    print(f"config4 SDF volume build (80k faces, 96^3): "
+          f"{time.perf_counter() - t0:.1f}s one-time")
+    for impl in ("sdf", "exact"):
+        cfg4 = smplify.FitConfig(
+            num_iters=iters, use_mesh=True, displacement=True,
+            mesh_loss_impl=impl,
+        )
+        _time_fit(
+            smpl, cfg4, obs4, smplify.FitParams.init(smpl), prior,
+            False, 2 * iters, f"config4 smpl+d scan ({impl})",
+        )
+
+    # config 5: 150-frame sequence fit (temporal coupling)
+    from bodyfitting_tpu.fitting import sequence as seqmod
+
+    B5 = 150
+    obs5 = _obs(smplx, rng, n_frames=B5)
+    init5 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B5,) + x.shape),
+        smplify.FitParams.init(smplx),
+    )
+    fit5 = jax.jit(
+        lambda o, i: seqmod.fit_sequence(smplx, cfg, o, i, prior)
+    )
+    t0 = time.perf_counter()
+    _, _, losses = fit5(obs5, init5)
+    losses.block_until_ready()
+    print(f"config5 150-frame smplx sequence (temporal): compile+run "
+          f"{time.perf_counter() - t0:.0f}s")
+    t0 = time.perf_counter()
+    _, _, losses = fit5(obs5, init5)
+    losses.block_until_ready()
+    dt = time.perf_counter() - t0
+    print(
+        f"config5: {iters} iters x 150 frames in {dt * 1e3:.0f}ms "
+        f"({150 * iters / dt / 600:.1f} 600-iter fits/s/chip)"
+    )
+
+
+if __name__ == "__main__":
+    main()

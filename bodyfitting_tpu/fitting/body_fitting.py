@@ -221,6 +221,44 @@ def init_params_from_hmr(
     )
 
 
+def smplx_init_from_smpl(
+    smplx_model: bm.BodyModel, smpl_result: dict
+) -> smplify.FitParams:
+    """Seed an SMPL-X fit from a finished SMPL fit.
+
+    Implements the reference's declared-but-unwired ``smplx_with_smpl_init``
+    option (genebody_fitting.py:44-45): the first 21 body joints, betas,
+    global orientation, translation and scale carry over; hands/face start
+    at zero.
+    """
+    pose = np.asarray(smpl_result["pose"], np.float32).reshape(-1)
+    body = bm.BodyParams.zeros(smplx_model)
+    betas = np.zeros(smplx_model.num_betas, np.float32)
+    src_betas = np.asarray(smpl_result["betas"], np.float32).reshape(-1)
+    n = min(len(betas), len(src_betas))
+    betas[:n] = src_betas[:n]
+    import dataclasses as _dc
+
+    body = _dc.replace(
+        body,
+        betas=jnp.asarray(betas),
+        global_orient=jnp.asarray(
+            np.asarray(smpl_result["global_orient"], np.float32).reshape(-1)
+        ),
+        body_pose=jnp.asarray(pose[: 3 * smplx_model.num_body_joints]),
+    )
+    scale = np.asarray(smpl_result["scale"], np.float32).reshape(-1)
+    transl = np.asarray(
+        smpl_result["global_transl"], np.float32
+    ).reshape(-1)
+    # stored global_transl is transl*scale (smplify.py:223): undo
+    return smplify.FitParams(
+        body=body,
+        global_transl=jnp.asarray(transl / np.maximum(scale, 1e-8)),
+        body_scale=jnp.asarray(scale),
+    )
+
+
 def check_smpl_fitting(image, verts, c2w, K):
     """Green-dot reprojection overlay (reference body_fitting.py:35-43)."""
     import cv2

@@ -384,13 +384,17 @@ def lbs(model: BodyModel, params: BodyParams):
     """
     full_pose_aa = _full_pose(model, params)
 
-    # Shape (+ expression) blendshapes.
-    v_shaped = model.v_template + blend_shapes(params.betas, model.shapedirs)
+    # Shape (+ expression) blendshapes.  With a kid template, the last
+    # beta drives the SMIL blend direction and the rest the usual basis
+    # (reference smplify/smplify.py:50-56, smplx kid_template_path).
+    shape_betas = (
+        params.betas[:-1] if model.kid_shape_dir is not None
+        else params.betas
+    )
+    v_shaped = model.v_template + blend_shapes(shape_betas, model.shapedirs)
     if model.num_expressions and model.expr_dirs is not None:
         v_shaped = v_shaped + blend_shapes(params.expression, model.expr_dirs)
     if model.kid_shape_dir is not None:
-        # 11th shape component blending towards the SMIL infant template
-        # (reference smplify/smplify.py:50-56, smplx kid_template_path).
         v_shaped = v_shaped + params.betas[-1] * model.kid_shape_dir.reshape(
             -1, 3
         )
