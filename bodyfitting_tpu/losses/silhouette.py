@@ -124,15 +124,19 @@ def silhouette_loss(
             (proj[:, 0] >= 0) & (proj[:, 0] < imsize)
             & (proj[:, 1] >= 0) & (proj[:, 1] < imsize)
         )
-        # contour -> model matching: [P, M] distances; excluded model points
-        # (outside the image) and padded contour rows never win.
-        d = jnp.sqrt(
-            jnp.sum((contour[:, None, :] - proj[None, :, :]) ** 2, -1) + 1e-12
-        )
-        d = jnp.where(inside[None, :], d, _BIG)
-        idx = jnp.argmin(d, axis=1)                        # [P]
-        mindist = jnp.take_along_axis(d, idx[:, None], 1)[:, 0]
+        # contour -> model matching: [P, M] squared distances with
+        # gradients stopped (the argmin is non-differentiable anyway);
+        # matched-pair distances are recomputed through a small gather so
+        # the backward never scatters into the [P, M] matrix.
+        proj_ng = jax.lax.stop_gradient(proj)
+        d2 = jnp.sum((contour[:, None, :] - proj_ng[None, :, :]) ** 2, -1)
+        d2 = jnp.where(inside[None, :], d2, _BIG)
+        idx = jnp.argmin(d2, axis=1)                       # [P]
         matched = proj[idx]                                # [P, 2]
+        mindist = jnp.sqrt(
+            jnp.sum((contour - matched) ** 2, -1) + 1e-12
+        )
+        mindist = jnp.where(inside[idx], mindist, jnp.sqrt(_BIG))
         H, W = mask.shape
         mx = jnp.clip(matched[:, 0].astype(jnp.int32), 0, W - 1)
         my = jnp.clip(matched[:, 1].astype(jnp.int32), 0, H - 1)
