@@ -166,6 +166,19 @@ def _morton_codes(pts: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
     )
 
 
+def build_nearest_index(tri: jax.Array, face_block: int = 512):
+    """Precompute the Morton-sorted face data + per-block AABBs.
+
+    Returns ``(tri_sorted [F,3,3], order [F], lo [3], hi [3])`` — reuse
+    across many queries against the same mesh (e.g. SDF volume builds).
+    """
+    centroid = tri.mean(axis=1)
+    lo = centroid.min(0)
+    hi = centroid.max(0)
+    order = jnp.argsort(_morton_codes(centroid, lo, hi))
+    return tri[order], order, lo, hi
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("query_tile", "face_block", "ub_samples", "interpret"),
@@ -177,6 +190,7 @@ def nearest_d2_idx(
     face_block: int = 512,
     ub_samples: int = 512,
     interpret: bool = False,
+    index=None,
 ):
     """Min distance^2 + winning face index for each query.
 
@@ -184,7 +198,8 @@ def nearest_d2_idx(
 
     Faces are Morton-sorted so face blocks have tight 3D AABBs; a
     sampled-face prepass gives each query tile a distance upper bound,
-    and the kernel skips any block whose AABB lies beyond it.
+    and the kernel skips any block whose AABB lies beyond it.  Pass a
+    prebuilt ``index`` (:func:`build_nearest_index`) to skip the sort.
     """
     from bodyfitting_tpu.ops.nearest import closest_point_on_triangles
 
@@ -197,11 +212,10 @@ def nearest_d2_idx(
 
     # Morton-sort faces by centroid AND queries, so both query tiles and
     # face blocks have tight AABBs (the cull needs both)
-    centroid = tri.mean(axis=1)
-    lo = centroid.min(0)
-    hi = centroid.max(0)
-    order = jnp.argsort(_morton_codes(centroid, lo, hi))
-    tri_s = tri[order]
+    if index is None:
+        tri_s, order, lo, hi = build_nearest_index(tri, face_block)
+    else:
+        tri_s, order, lo, hi = index
     q_order = jnp.argsort(_morton_codes(points, lo, hi))
     points = points[q_order]
 

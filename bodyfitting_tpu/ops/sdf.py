@@ -77,20 +77,28 @@ def build_distance_volume(
         jnp.meshgrid(*axes, indexing="ij"), axis=-1
     ).reshape(-1, 3)
 
-    if jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
         from bodyfitting_tpu.ops.pallas_kernels import (
-            nearest_point_on_mesh_pallas as nearest_fn,
+            build_nearest_index,
+            nearest_d2_idx,
         )
-    else:
-        nearest_fn = nearest_point_on_mesh
+
+        tri = verts[faces]
+        index = build_nearest_index(tri, face_block)
 
     dists = []
     fids = []
     for start in range(0, grid.shape[0], point_chunk):
         chunk = grid[start:start + point_chunk]
-        _, fid, d2 = nearest_fn(
-            chunk, verts, faces, face_block=face_block
-        )
+        if on_tpu:
+            d2, fid = nearest_d2_idx(
+                chunk, tri, face_block=face_block, index=index
+            )
+        else:
+            _, fid, d2 = nearest_point_on_mesh(
+                chunk, verts, faces, face_block=face_block
+            )
         dists.append(jnp.sqrt(d2))
         fids.append(fid)
     R = resolution
