@@ -196,6 +196,11 @@ def bench_torch_baseline(n_views: int = 4, iters: int = 8):
 
 
 def main():
+    from bodyfitting_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     baseline_iters = bench_torch_baseline()          # it/s, batch 1
     iters_per_frame = bench_jax(batch_frames=batch)

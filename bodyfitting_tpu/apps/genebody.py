@@ -296,6 +296,11 @@ class Runner:
 
 
 def main(argv=None):
+    from bodyfitting_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     args = config_parser().parse_args(argv)
     Runner(args).run()
 
