@@ -129,20 +129,31 @@ def default_K(img_size: int) -> np.ndarray:
 
 def render_textured(
     verts, faces, face_uvs, texture, w2c, K, image_size, face_block=256,
-    background=1.0,
+    background=1.0, supersample: int = 1,
 ):
     """Rasterize + UV-sample in one go; differentiable w.r.t. ``texture``.
 
     Uses the Pallas z-buffer kernel on TPU (the texture gradient flows
     through the sampling post-pass only, so the non-differentiable kernel
-    is safe under grad)."""
+    is safe under grad).  ``supersample=2`` reproduces the reference
+    renderer's 2x anti-aliasing (rasterize.py:297-304): render at 2x and
+    box-filter down; the returned raster maps stay at the render scale.
+    """
     from bodyfitting_tpu.ops.pallas_kernels import auto_rasterize
 
-    px, fz = rz.project_faces(verts, faces, w2c, K)
-    raster = auto_rasterize(px, fz, image_size, face_block=face_block)
+    ss = max(int(supersample), 1)
+    K_ss = K * ss if ss > 1 else K
+    if ss > 1:
+        K_ss = K_ss.at[2, 2].set(1.0) if hasattr(K_ss, "at") else K_ss
+    px, fz = rz.project_faces(verts, faces, w2c, K_ss)
+    raster = auto_rasterize(px, fz, image_size * ss, face_block=face_block)
     raster = jax.tree.map(jax.lax.stop_gradient, raster)
-    return rz.sample_texture(raster, face_uvs, texture,
-                             background=background), raster
+    img = rz.sample_texture(raster, face_uvs, texture,
+                            background=background)
+    if ss > 1:
+        H = image_size
+        img = img.reshape(H, ss, H, ss, -1).mean(axis=(1, 3))
+    return img, raster
 
 
 def scene_bounds(verts: np.ndarray):

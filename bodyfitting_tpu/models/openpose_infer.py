@@ -382,3 +382,81 @@ def detect_to_json(
             os.path.join(write_dir, f"{stem}_keypoints.json"), "w"
         ) as f:
             json.dump({"version": 1.3, "people": people}, f)
+
+
+# ---------------------------------------------------------------------------
+# Visualisation (reference openpose/util.py:42-126)
+# ---------------------------------------------------------------------------
+
+_LIMB_COLORS = [
+    (255, 0, 0), (255, 85, 0), (255, 170, 0), (255, 255, 0),
+    (170, 255, 0), (85, 255, 0), (0, 255, 0), (0, 255, 85),
+    (0, 255, 170), (0, 255, 255), (0, 170, 255), (0, 85, 255),
+    (0, 0, 255), (85, 0, 255), (170, 0, 255), (255, 0, 255),
+    (255, 0, 170), (255, 0, 85),
+]
+
+_HAND_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 6), (6, 7), (7, 8),
+    (0, 9), (9, 10), (10, 11), (11, 12), (0, 13), (13, 14), (14, 15),
+    (15, 16), (0, 17), (17, 18), (18, 19), (19, 20),
+]
+
+
+def draw_bodypose(canvas, candidate, subset, stickwidth: int = 4):
+    """Draw assembled skeletons: limb sticks + joint dots
+    (reference util.py:42-94)."""
+    import cv2
+
+    canvas = canvas.copy()
+    for k, limb in enumerate(LIMB_SEQ[:17]):
+        color = _LIMB_COLORS[k % len(_LIMB_COLORS)]
+        for person in subset.astype(int):
+            ia, ib = person[limb[0] - 1], person[limb[1] - 1]
+            if ia < 0 or ib < 0:
+                continue
+            xa, ya = candidate[ia][:2]
+            xb, yb = candidate[ib][:2]
+            mx, my = (xa + xb) / 2, (ya + yb) / 2
+            length = float(np.hypot(xa - xb, ya - yb))
+            angle = float(np.degrees(np.arctan2(ya - yb, xa - xb)))
+            poly = cv2.ellipse2Poly(
+                (int(mx), int(my)), (int(length / 2), stickwidth),
+                int(angle), 0, 360, 1,
+            )
+            cv2.fillConvexPoly(canvas, poly, color)
+    for part in range(18):
+        color = _LIMB_COLORS[part % len(_LIMB_COLORS)]
+        for person in subset.astype(int):
+            idx = person[part]
+            if idx < 0:
+                continue
+            x, y = candidate[idx][:2]
+            cv2.circle(canvas, (int(x), int(y)), stickwidth, color, -1)
+    return canvas
+
+
+def draw_handpose(canvas, peaks, show_number: bool = False):
+    """Draw the 21 hand keypoints + finger edges
+    (reference util.py:96-126)."""
+    import cv2
+
+    canvas = canvas.copy()
+    peaks = np.asarray(peaks)
+    for (a, b) in _HAND_EDGES:
+        if (peaks[a] == 0).all() or (peaks[b] == 0).all():
+            continue
+        cv2.line(
+            canvas, tuple(peaks[a][:2].astype(int)),
+            tuple(peaks[b][:2].astype(int)), (0, 0, 255), 2,
+        )
+    for i, p in enumerate(peaks):
+        if (p == 0).all():
+            continue
+        cv2.circle(canvas, tuple(p[:2].astype(int)), 3, (0, 255, 0), -1)
+        if show_number:
+            cv2.putText(
+                canvas, str(i), tuple(p[:2].astype(int)),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.3, (0, 0, 0), 1,
+            )
+    return canvas
