@@ -30,7 +30,6 @@ Data-layout contracts kept from the reference so its assets drop in:
 from __future__ import annotations
 
 import dataclasses
-import os
 import pickle
 from typing import Any, Optional
 

@@ -23,7 +23,7 @@ the bounding-box diagonal); the exact sweep remains available via
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 
 import jax
 import jax.numpy as jnp
