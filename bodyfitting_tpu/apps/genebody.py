@@ -66,6 +66,9 @@ def config_parser():
     p.add_argument("--synthetic_num_verts", type=int, default=None,
                    help="vertex count of the synthetic fallback model "
                         "(tiny values for smoke tests)")
+    p.add_argument("--smplx_with_smpl_init", default=False,
+                   action="store_true",
+                   help="seed the SMPL-X fit from a first SMPL fit")
     return p
 
 
@@ -118,6 +121,7 @@ class Runner:
             if args.hmr_checkpoint else None
         )
         self.seqs = self._sequence()
+        self._smpl_stage_model = None
 
     def _gender(self):
         if self.args.info_dir and os.path.exists(self.args.info_dir):
@@ -228,6 +232,44 @@ class Runner:
         init = bf.init_params_from_hmr(self.model, betas, poses)
         return obs, init
 
+    def _smpl_init_stage(self, obs_list, init_list, config):
+        """Two-stage init: fit SMPL on the body keypoints, seed SMPL-X
+        (the reference's declared smplx_with_smpl_init option,
+        genebody_fitting.py:44-45)."""
+        import dataclasses
+
+        if self._smpl_stage_model is None:
+            smpl_args = argparse.Namespace(**vars(self.args))
+            smpl_args.smpl_type = "smpl"
+            self._smpl_stage_model = load_body_model(smpl_args)
+        smpl_model = self._smpl_stage_model
+        smpl_obs = [
+            dataclasses.replace(o, keypoints=o.keypoints[:, :25])
+            for o in obs_list
+        ]
+        smpl_inits = [
+            bf.init_params_from_hmr(
+                smpl_model,
+                np.asarray(i.body.betas),
+                np.concatenate([
+                    np.asarray(i.body.global_orient),
+                    np.zeros(69, np.float32),
+                ]),
+            )
+            for i in init_list
+        ]
+        _, smpl_results, _ = bf.fit_frames_batched(
+            smpl_model, dataclasses.replace(config, use_mask=False),
+            smpl_obs, smpl_inits, self.prior,
+        )
+        return [
+            bf.smplx_init_from_smpl(
+                self.model,
+                {k: np.asarray(v[i]) for k, v in smpl_results.items()},
+            )
+            for i in range(len(obs_list))
+        ]
+
     def fit_batch(self, frames, inputs):
         config = smplify.FitConfig(
             num_iters=self.args.num_iters,
@@ -238,6 +280,8 @@ class Runner:
         )
         obs_list = [o for o, _ in inputs]
         init_list = [i for _, i in inputs]
+        if self.args.smplx_with_smpl_init and self.args.smpl_type == "smplx":
+            init_list = self._smpl_init_stage(obs_list, init_list, config)
         _, results, _ = bf.fit_frames_batched(
             self.model, config, obs_list, init_list, self.prior
         )
