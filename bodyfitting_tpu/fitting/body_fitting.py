@@ -307,11 +307,11 @@ def save_frame_outputs(
 ) -> None:
     """Parameter/obj outputs + optional reprojection overlays
     (body_fitting.py:94-107)."""
-    disp = result.get("displacement")
-    plain = {k: v for k, v in result.items() if k != "displacement"}
+    # displacement stays in the saved dict (reference smplify.py:247) AND
+    # drives the +d.obj
     save_fit_outputs(
-        output_folder, smpl_type, plain, np.asarray(model.faces),
-        displacement=disp,
+        output_folder, smpl_type, result, np.asarray(model.faces),
+        displacement=result.get("displacement"),
     )
     if debug and images is not None:
         import imageio

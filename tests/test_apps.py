@@ -176,6 +176,7 @@ def test_renderpeople_app_end_to_end(tmp_path):
     assert (smplify_dir / "smpl+d.obj").exists()        # displacement stage
     d = np.load(str(smplify_dir / "smpl_parameter.npy"),
                 allow_pickle=True).item()
-    assert "displacement" in d or (smplify_dir / "smpl+d.obj").exists()
+    assert "displacement" in d          # reference smplify.py:247 contract
+    assert np.isfinite(d["displacement"]).all()
     assert (out_dir / "subjectA" / "texfit" / "smpl.png").exists()
     assert (out_dir / "SMPL" / "subjectA.obj").exists()
