@@ -99,3 +99,34 @@ def test_native_is_faster_on_large_files(lib, tmp_path):
     np.testing.assert_array_equal(m_nat.faces, m_py.faces)
     assert t_nat < t_py, (t_nat, t_py)
     print(f"native {t_nat * 1e3:.1f}ms vs python {t_py * 1e3:.1f}ms")
+
+
+def test_native_messy_formatting(lib, tmp_path):
+    """Comments, CRLF, blank lines, extra whitespace parse identically."""
+    path = tmp_path / "messy.obj"
+    path.write_bytes(
+        b"# a comment\r\n"
+        b"\r\n"
+        b"v   0.0\t0.0  0.0\r\n"
+        b"v 1 0 0\n"
+        b"v 0 1 0   # trailing comment\n"
+        b"vt 0.5 0.5\n"
+        b"g group1\n"
+        b"usemtl something\n"
+        b"f 1 2 3\n"
+        b"  f 3 2 1\n"
+    )
+    m_nat = load_obj(str(path), use_native=True)
+    m_py = load_obj(str(path), use_native=False)
+    np.testing.assert_allclose(m_nat.verts, m_py.verts)
+    np.testing.assert_array_equal(m_nat.faces, m_py.faces)
+    assert m_nat.faces.shape == (2, 3)
+
+
+def test_native_empty_and_missing(lib, tmp_path):
+    empty = tmp_path / "empty.obj"
+    empty.write_text("")
+    m = load_obj(str(empty), use_native=True)
+    assert m.verts.shape[0] == 0 and m.faces.shape[0] == 0
+    with pytest.raises(IOError):
+        load_obj(str(tmp_path / "nonexistent.obj"), use_native=True)
