@@ -256,6 +256,11 @@ def fit(
     dict matches the reference's output schema (smplify.py:216-226).
     Jit-compile with ``model``/``config`` static; ``vmap`` over frames by
     batching ``obs`` and ``init``.
+
+    Small deliberate fix vs the reference: its returned vertices/joints
+    come from the forward pass *before* the last Adam step while the
+    returned parameters are *post*-step (smplify.py:177-226), so they are
+    one step inconsistent.  Here both come from the final parameters.
     """
     tx = _make_optimizer(config, init)
     opt_state = tx.init(init)
