@@ -322,7 +322,7 @@ def _full_pose(model: BodyModel, p: BodyParams) -> jax.Array:
     """Assemble the ``[J*3]`` axis-angle pose vector in smplx layout."""
     if model.model_type == "smpl":
         return jnp.concatenate([p.global_orient, p.body_pose])
-    # SMPL-X: global(1) + body(21) + jaw + leye + reye + lhand(15) + rhand(15)
+
     def hand_aa(coeffs, components, mean):
         aa = jnp.matmul(coeffs, components[: coeffs.shape[-1]],
                         preferred_element_type=jnp.float32)
@@ -334,6 +334,12 @@ def _full_pose(model: BodyModel, p: BodyParams) -> jax.Array:
                     model.hand_mean_l)
     rhand = hand_aa(p.right_hand_pose, model.hand_components_r,
                     model.hand_mean_r)
+    if model.model_type == "smplh":
+        # SMPL-H: global(1) + body(21) + lhand(15) + rhand(15) = 52 joints
+        return jnp.concatenate([
+            p.global_orient, p.body_pose, lhand, rhand,
+        ])
+    # SMPL-X: global(1) + body(21) + jaw + leye + reye + lhand(15) + rhand(15)
     return jnp.concatenate([
         p.global_orient, p.body_pose, p.jaw_pose, p.leye_pose, p.reye_pose,
         lhand, rhand,
@@ -661,6 +667,13 @@ def synthetic_model(
         J = 24
         parents = (-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14,
                    16, 17, 18, 19, 20, 21)
+    elif model_type == "smplh":
+        J = 52
+        body = [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14,
+                16, 17, 18, 19]
+        lhand = [20, 22, 23, 20, 25, 26, 20, 28, 29, 20, 31, 32, 20, 34, 35]
+        rhand = [21, 37, 38, 21, 40, 41, 21, 43, 44, 21, 46, 47, 21, 49, 50]
+        parents = tuple(body + lhand + rhand)
     elif model_type == "smplx":
         J = 55
         body = [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14,
@@ -691,6 +704,7 @@ def synthetic_model(
     faces = rng.integers(0, V, size=(F, 3)).astype(np.int32)
 
     is_x = model_type == "smplx"
+    has_hands = model_type in ("smplh", "smplx")
     E = num_expressions if is_x else 0
     arr = lambda x: jnp.asarray(x, dtype=dtype)  # noqa: E731
 
@@ -713,11 +727,11 @@ def synthetic_model(
         faces=jnp.asarray(faces),
         expr_dirs=arr(rng.normal(scale=0.005, size=(E, V * 3))) if is_x else None,
         hand_components_l=arr(rng.normal(size=(num_hand_pca, 45)) * 0.5)
-        if is_x else None,
+        if has_hands else None,
         hand_components_r=arr(rng.normal(size=(num_hand_pca, 45)) * 0.5)
-        if is_x else None,
-        hand_mean_l=arr(rng.normal(size=(45,)) * 0.05) if is_x else None,
-        hand_mean_r=arr(rng.normal(size=(45,)) * 0.05) if is_x else None,
+        if has_hands else None,
+        hand_mean_l=arr(rng.normal(size=(45,)) * 0.05) if has_hands else None,
+        hand_mean_r=arr(rng.normal(size=(45,)) * 0.05) if has_hands else None,
         lmk_faces_idx=jnp.asarray(lmk_faces) if is_x else None,
         lmk_bary_coords=arr(lmk_bary) if is_x else None,
         dyn_lmk_faces_idx=jnp.asarray(dyn_faces) if is_x else None,

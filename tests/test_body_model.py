@@ -178,3 +178,21 @@ def test_hand_pca_moves_hand_joints_only(smplx, rng):
     # left-hand finger joints (25..39) move; body joints (0..21) do not
     assert np.abs(skel1[25:40] - skel0[25:40]).max() > 1e-4
     np.testing.assert_allclose(skel1[:22], skel0[:22], atol=1e-5)
+
+
+def test_smplh_forward():
+    model = bm.synthetic_model("smplh", num_verts=96, seed=12)
+    assert model.num_joints == 52 and model.num_body_joints == 21
+    out = bm.forward(model, bm.BodyParams.zeros(model))
+    # 52 skeleton + 21 selector joints, no landmarks
+    assert out.joints_raw.shape == (73, 3)
+    assert out.full_pose.shape == (156,)
+    # hands driven by PCA coefficients
+    p = dataclasses.replace(
+        bm.BodyParams.zeros(model),
+        right_hand_pose=jnp.ones(model.num_hand_pca) * 0.3,
+    )
+    out2 = bm.forward(model, p)
+    skel0, skel1 = np.asarray(out.joints_raw), np.asarray(out2.joints_raw)
+    assert np.abs(skel1[37:52] - skel0[37:52]).max() > 1e-4  # right fingers
+    np.testing.assert_allclose(skel1[:22], skel0[:22], atol=1e-5)
