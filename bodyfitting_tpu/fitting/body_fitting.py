@@ -139,6 +139,7 @@ def build_observations(
         keypoints=jnp.asarray(kps),
         view_mask=jnp.asarray(view_mask),
         constant_scale=jnp.asarray(constant_scale, jnp.float32),
+        num_views_used=jnp.asarray(float(len(w2cs)), jnp.float32),
     )
     if masks is not None and len(masks) > 0:
         from bodyfitting_tpu.losses.silhouette import extract_contours

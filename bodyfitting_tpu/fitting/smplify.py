@@ -114,6 +114,9 @@ class Observations:
     keypoints: jax.Array          # [Vw, K, 3] (u, v, conf), model order
     view_mask: jax.Array          # [Vw]
     constant_scale: jax.Array     # scalar (0.3 GeneBody / height/1.7 scans)
+    # scalar count of views with images (the reference's len(use_frames),
+    # the keypoint-loss denominator); None -> padded view count
+    num_views_used: Optional[jax.Array] = None
     # silhouette fitting (config.use_mask)
     masks: Optional[jax.Array] = None          # [Vm, H, W]
     mask_w2cs: Optional[jax.Array] = None      # [Vm, 4, 4]
@@ -130,7 +133,8 @@ class Observations:
 jax.tree_util.register_dataclass(
     Observations,
     data_fields=[
-        "w2cs", "Ks", "keypoints", "view_mask", "constant_scale", "masks",
+        "w2cs", "Ks", "keypoints", "view_mask", "constant_scale",
+        "num_views_used", "masks",
         "mask_w2cs", "mask_Ks", "contours", "contour_valid", "scan_verts",
         "scan_faces", "scan_height", "scan_volume",
     ],
@@ -203,6 +207,7 @@ def fit_loss(
         angle_prior_weight=config.angle_prior_weight,
         shape_prior_weight=config.shape_prior_weight,
         use_hand_face=use_hand_face,
+        num_views_used=obs.num_views_used,
     )
 
     gate = config.num_iters // config.stage_gate_den

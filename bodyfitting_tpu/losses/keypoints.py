@@ -70,6 +70,7 @@ def multiview_keypoint_loss(
     angle_prior_weight: float = 15.2,
     shape_prior_weight: float = 5.0,
     use_hand_face: bool = False,
+    num_views_used=None,
 ) -> tuple[jax.Array, dict]:
     """Total multi-view keypoint objective for one frame.
 
@@ -77,9 +78,12 @@ def multiview_keypoint_loss(
       w2cs: ``[Vw, 4, 4]`` world-to-camera transforms.
       Ks: ``[Vw, 3, 3]`` intrinsics.
       keypoints: ``[Vw, K, 3]`` (u, v, conf); K = 25, or 135 with hands+face.
-      view_mask: ``[Vw]`` 1.0 for real views, 0.0 for padding.  The per-view
-        sums are divided by the *total* view count, like the reference's
-        ``/ len(use_frames)`` (loss.py:197).
+      view_mask: ``[Vw]`` 1.0 for real views, 0.0 for padding.
+      num_views_used: denominator of the per-view sums — the reference
+        divides by ``len(use_frames)``, the number of views *with images*
+        (loss.py:197), which can be smaller than the padded axis.  Pass
+        that count (scalar, possibly traced) for exact parity; defaults
+        to the padded view count.
       model_joints: ``[J, 3]`` posed joints, first 25 in OpenPose body order,
         then 21+21 hand and 68 face keypoints when ``use_hand_face``.
       body_pose69: ``[69]`` body pose; SMPL-X's 63 must be zero-padded to 69
@@ -90,7 +94,9 @@ def multiview_keypoint_loss(
     Returns ``(scalar_loss, dict_of_terms)``.
     """
     scale_coeff = imsize / 1024.0
-    num_views = w2cs.shape[0]
+    num_views = (
+        num_views_used if num_views_used is not None else w2cs.shape[0]
+    )
 
     def per_view(w2c, K, kp):
         proj = perspective_projection(
