@@ -415,14 +415,16 @@ def lbs(model: BodyModel, params: BodyParams):
         rot_mats, rest_joints, model.parents
     )
 
-    # Skinning: one MXU matmul [V,J] @ [J,16], then apply per-vertex affine.
+    # Skinning: one MXU matmul [V,J] @ [J,12] (the 3x4 affine rows — the
+    # constant bottom row would only add HBM traffic; the [B,V,.] blended
+    # transform is the fit's bandwidth bottleneck, see BENCH_NOTES.md).
     T = jnp.matmul(
         model.lbs_weights,
-        rel_tf.reshape(model.num_joints, 16),
+        rel_tf[:, :3, :].reshape(model.num_joints, 12),
         preferred_element_type=jnp.float32,
-    ).reshape(model.num_verts, 4, 4)
+    ).reshape(model.num_verts, 3, 4)
     verts = (
-        jnp.einsum("vij,vj->vi", T[:, :3, :3], v_posed) + T[:, :3, 3]
+        jnp.einsum("vij,vj->vi", T[:, :, :3], v_posed) + T[:, :, 3]
     )
     return verts, posed_joints, full_pose_aa
 
