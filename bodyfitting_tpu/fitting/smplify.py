@@ -68,6 +68,9 @@ class FitConfig:
     # ~1000x cheaper; requires obs.scan_volume); 'exact' re-runs the
     # dense nearest-point sweep like the reference.
     mesh_loss_impl: str = "sdf"
+    # rematerialize the body-model forward in the backward pass instead of
+    # saving its [B,V,*] intermediates (HBM-bound, see BENCH_NOTES.md)
+    remat_forward: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -191,7 +194,11 @@ def fit_loss(
     pose_prior_fn,
 ):
     """Total staged loss at a given iteration (one frame)."""
-    out = bm.forward(model, params.body)
+    fwd = (
+        jax.checkpoint(lambda p: bm.forward(model, p))
+        if config.remat_forward else (lambda p: bm.forward(model, p))
+    )
+    out = fwd(params.body)
     scale = params.body_scale * obs.constant_scale
     model_joints = (out.joints + params.global_transl) * scale
     body_vertices = (out.vertices + params.global_transl) * scale
