@@ -128,3 +128,16 @@ def test_resume_from_partial_checkpoint(fit_setup, tmp_path):
         np.asarray(res_resumed["vertices"]),
         np.asarray(res_full["vertices"]), atol=1e-4,
     )
+
+
+def test_profiler_trace_writes(tmp_path):
+    from bodyfitting_tpu.utils.observability import profiler_trace
+
+    with profiler_trace(str(tmp_path / "trace")):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    import os
+
+    found = []
+    for root, _, files in os.walk(tmp_path / "trace"):
+        found.extend(files)
+    assert found  # something was captured

@@ -173,3 +173,30 @@ def test_detect_to_json_contract(tmp_path, monkeypatch):
     kp = load_openpose(str(out_dir / "00_keypoints.json"))
     assert kp is not None and kp["pose"].shape == (25, 3)
     assert kp["pose"][:, 2].sum() > 10  # most parts confident
+
+
+def test_body_detector_smoke():
+    """Full multiscale detector pipeline with random weights: shapes + no
+    crashes (real checkpoints unavailable in this environment)."""
+    import numpy as np
+
+    from bodyfitting_tpu.models.openpose_infer import BodyDetector
+
+    det = BodyDetector(scales=(0.5,))
+    img = (np.random.default_rng(0).uniform(0, 255, size=(96, 80, 3))
+           ).astype(np.uint8)
+    candidate, subset = det(img)
+    assert candidate.ndim == 2 and candidate.shape[1] == 4
+    assert subset.ndim == 2 and subset.shape[1] == 20
+
+
+def test_hand_detector_smoke():
+    import numpy as np
+
+    from bodyfitting_tpu.models.openpose_infer import HandDetector
+
+    det = HandDetector(scales=(0.5,))
+    crop = (np.random.default_rng(1).uniform(0, 255, size=(64, 64, 3))
+            ).astype(np.uint8)
+    peaks = det(crop)
+    assert peaks.shape == (21, 2)
