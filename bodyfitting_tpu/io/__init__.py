@@ -11,6 +11,7 @@ from bodyfitting_tpu.io.images import (  # noqa: F401
     crop_and_resize,
     adjust_K_for_crop,
     apply_mask,
+    bbox_from_keypoints,
 )
 from bodyfitting_tpu.io.params import (  # noqa: F401
     save_params,

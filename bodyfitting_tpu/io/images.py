@@ -87,3 +87,15 @@ def adjust_K_for_crop(
 def apply_mask(img: np.ndarray, mask: np.ndarray) -> np.ndarray:
     """Zero the background (reference: ``img * (msk > 128)[..., None]``)."""
     return img * (mask > 128)[..., None]
+
+
+def bbox_from_keypoints(keypoints, rescale: float = 1.2,
+                        detection_thresh: float = 0.2):
+    """(center, SPIN scale) from confident 2D keypoints
+    (reference io_utils.py:263-273)."""
+    kp = np.reshape(np.asarray(keypoints, np.float64), (-1, 3))
+    valid = kp[:, -1] > detection_thresh
+    pts = kp[valid][:, :2]
+    center = pts.mean(axis=0)
+    size = (pts.max(axis=0) - pts.min(axis=0)).max()
+    return center, size / 200.0 * rescale

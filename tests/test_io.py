@@ -171,3 +171,37 @@ def test_genebody_views():
     assert len(bio.genebody_views("zhuna")) == 48
     assert 32 not in bio.genebody_views("dannier")
     assert len(bio.genebody_views("joseph_matanda")) == 40
+
+
+def test_bbox_from_keypoints():
+    kp = np.zeros((25, 3), np.float32)
+    kp[0] = [100, 100, 0.9]
+    kp[1] = [300, 200, 0.9]
+    kp[2] = [200, 150, 0.05]       # below threshold: ignored
+    center, scale = bio.bbox_from_keypoints(kp)
+    np.testing.assert_allclose(center, [200, 150])
+    assert scale == pytest.approx(200 / 200.0 * 1.2)
+
+
+def test_scan_prep_mtl_and_up_axis(tmp_path):
+    from bodyfitting_tpu.io.scan_prep import copy_obj_y_up, ensure_mtl
+
+    # z-up scan without mtl
+    src = tmp_path / "s" / "subj_30k.obj"
+    src.parent.mkdir()
+    src.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 0 5\n"     # longest extent: z
+        "f 1 2 3\n"
+    )
+    ensure_mtl(str(src))
+    text = src.read_text()
+    assert "usemtl default" in text and "mtllib" in text
+    assert (tmp_path / "s" / "subj_30k.mtl").exists()
+    ensure_mtl(str(src))                   # idempotent
+    assert text == src.read_text()
+
+    dst = tmp_path / "d" / "subj.obj"
+    copy_obj_y_up(str(src), str(dst))
+    mesh = bio.load_obj(str(dst))
+    extents = mesh.verts.max(0) - mesh.verts.min(0)
+    assert extents.argmax() == 1           # now y-up
