@@ -54,6 +54,9 @@ def config_parser():
                    help="inpaint unseen UV regions after texture fitting")
     p.add_argument("--lbam_checkpoint", type=str, default=None,
                    help="LBAM weights; diffusion inpainting when absent")
+    p.add_argument("--prep_scans", default=False, action="store_true",
+                   help="normalise scans in place first: insert missing "
+                        "MTL references (reference mtl_check)")
     return p
 
 
@@ -100,6 +103,10 @@ class Runner:
         os.makedirs(imgdir, exist_ok=True)
         os.makedirs(maskdir, exist_ok=True)
 
+        if self.args.prep_scans:
+            from bodyfitting_tpu.io.scan_prep import ensure_mtl
+
+            ensure_mtl(meshfile)
         scan = load_obj(meshfile, load_texture=True)
         if scan.face_uvs is None or scan.texture is None:
             raise ValueError(f"{meshfile} lacks UVs/texture")

@@ -64,3 +64,14 @@ def save_fit_outputs(
             np_result["vertices"] + np.asarray(displacement, np.float32),
             np_result["faces"],
         )
+
+
+def make_hmr_vec(pose, betas, cam_t, smpl_type: str) -> np.ndarray:
+    """Pack (pose, betas, cam_t) into one row vector
+    (reference io_utils.py:275-286): 66+10+3 for smplx, 72+10+3 for smpl."""
+    n = 66 if smpl_type == "smplx" else 72
+    return np.concatenate([
+        np.asarray(pose, np.float32).reshape(1, n),
+        np.asarray(betas, np.float32).reshape(1, 10),
+        np.asarray(cam_t, np.float32).reshape(1, 3),
+    ], axis=1)
