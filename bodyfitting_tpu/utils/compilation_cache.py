@@ -5,6 +5,10 @@ XLA compiles (90-250 s for the large fit programs), not compute.  Enabling
 jax's persistent compilation cache makes them once-per-machine instead of
 once-per-process.  Called by the CLI apps and the benchmark; opt out with
 ``BODYFIT_NO_COMPILE_CACHE=1``.
+
+Caveat: on this development environment's tunneled TPU ("axon" platform,
+remote_compile over HTTP) the big-program compile largely bypasses the
+local cache; on standard TPU VMs the cache eliminates repeat compiles.
 """
 
 from __future__ import annotations
