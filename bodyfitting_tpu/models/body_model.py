@@ -91,8 +91,47 @@ def smpl_to_openpose(
     these are published index tables tying the smplx joint layout to the
     OpenPose BODY_25 / hands / face keypoint order.
     """
-    if openpose_format.lower() != "coco25":
-        raise NotImplementedError("only coco25 is used by the pipelines")
+    fmt = openpose_format.lower()
+    if fmt == "coco19":
+        if model_type == "smpl":
+            return np.array(
+                [24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
+                 25, 26, 27, 28], dtype=np.int32)
+        if model_type == "smplh":
+            body = [52, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
+                    53, 54, 55, 56]
+            mapping = [np.array(body, dtype=np.int32)]
+            if use_hands:
+                mapping += [
+                    np.array([20, 34, 35, 36, 57, 22, 23, 24, 58, 25, 26,
+                              27, 59, 31, 32, 33, 60, 28, 29, 30, 61],
+                             dtype=np.int32),
+                    np.array([21, 49, 50, 51, 62, 37, 38, 39, 63, 40, 41,
+                              42, 64, 46, 47, 48, 65, 43, 44, 45, 66],
+                             dtype=np.int32),
+                ]
+            return np.concatenate(mapping)
+        if model_type == "smplx":
+            body = [55, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
+                    56, 57, 58, 59]
+            mapping = [np.array(body, dtype=np.int32)]
+            if use_hands:
+                mapping += [
+                    np.array([20, 37, 38, 39, 60, 25, 26, 27, 61, 28, 29,
+                              30, 62, 34, 35, 36, 63, 31, 32, 33, 64],
+                             dtype=np.int32),
+                    np.array([21, 52, 53, 54, 65, 40, 41, 42, 66, 43, 44,
+                              45, 67, 49, 50, 51, 68, 46, 47, 48, 69],
+                             dtype=np.int32),
+                ]
+            if use_face:
+                mapping += [np.arange(
+                    70, 70 + 51 + 17 * use_face_contour, dtype=np.int32
+                )]
+            return np.concatenate(mapping)
+        raise ValueError(f"unknown model type {model_type}")
+    if fmt != "coco25":
+        raise ValueError(f"unknown joint format {openpose_format}")
     if model_type == "smpl":
         return np.array(
             [24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,

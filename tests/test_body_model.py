@@ -196,3 +196,14 @@ def test_smplh_forward():
     skel0, skel1 = np.asarray(out.joints_raw), np.asarray(out2.joints_raw)
     assert np.abs(skel1[37:52] - skel0[37:52]).max() > 1e-4  # right fingers
     np.testing.assert_allclose(skel1[:22], skel0[:22], atol=1e-5)
+
+
+def test_smpl_to_openpose_coco19():
+    m = bm.smpl_to_openpose("smpl", openpose_format="coco19")
+    assert m.shape == (19,) and m[0] == 24
+    mx = bm.smpl_to_openpose("smplx", use_face_contour=True,
+                             openpose_format="coco19")
+    assert mx.shape == (19 + 21 + 21 + 68,)
+    assert mx[0] == 55 and mx[19] == 20          # nose, left wrist
+    mh = bm.smpl_to_openpose("smplh", openpose_format="coco19")
+    assert mh.shape == (19 + 42,) and mh[0] == 52
