@@ -393,3 +393,56 @@ def inpaint_unseen(
         ) / 4.0
         img[m] = blur[m]
     return img
+
+
+def render_compare(
+    smpl_mesh,
+    scan_mesh,
+    out_dir: str,
+    viewnum: int = 36,
+    imgsize: int = 512,
+    write_video: bool = True,
+    face_block: int = 512,
+):
+    """Side-by-side ring-view renders of the fitted mesh vs the scan.
+
+    Reference render_compare (texture_fitting.py:119-147): per view a
+    ``[scan | fitted]`` image written as ``%04d.png``, plus an mp4 when
+    imageio's ffmpeg is available.  Each mesh is a tuple
+    ``(verts, faces, face_uvs, texture)``.
+    """
+    import os
+
+    import imageio.v2 as imageio
+    import jax.numpy as _jnp
+
+    os.makedirs(out_dir, exist_ok=True)
+    sv = np.asarray(scan_mesh[0])
+    center, _, dist = scene_bounds(sv)
+    poses = ring_poses(center, viewnum, dist)
+    K = jnp.asarray(default_K(imgsize))
+
+    frames = []
+    for i, w2c in enumerate(poses):
+        w2c_j = _jnp.asarray(w2c)
+        imgs = []
+        for verts, faces, face_uvs, tex in (scan_mesh, smpl_mesh):
+            img, _ = render_textured(
+                _jnp.asarray(verts), _jnp.asarray(faces),
+                _jnp.asarray(face_uvs), _jnp.asarray(tex),
+                w2c_j, K, imgsize, face_block,
+            )
+            imgs.append(
+                (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+            )
+        frame = np.hstack(imgs)
+        imageio.imwrite(os.path.join(out_dir, f"{i:04d}.png"), frame)
+        frames.append(frame)
+    if write_video:
+        try:
+            imageio.mimwrite(
+                os.path.join(out_dir, "video.mp4"), frames, fps=10
+            )
+        except Exception:
+            pass  # no ffmpeg plugin: stills are enough
+    return frames

@@ -94,3 +94,20 @@ def test_training_pose_schedule_structure():
     np.testing.assert_allclose(poses[0], poses[6], atol=1e-6)
     # random-phase poses differ
     assert np.abs(poses[12] - poses[13]).max() > 1e-3
+
+
+def test_render_compare(tmp_path):
+    verts, faces, face_uvs = _unit_quad(scale=0.5)
+    rng = np.random.default_rng(0)
+    tex = rng.uniform(size=(8, 8, 3)).astype(np.float32)
+    frames = tf.render_compare(
+        (verts, faces, face_uvs, tex),
+        (verts, faces, face_uvs, tex),
+        str(tmp_path), viewnum=3, imgsize=32, face_block=4,
+        write_video=False,
+    )
+    assert len(frames) == 3
+    assert frames[0].shape == (32, 64, 3)
+    import os
+
+    assert os.path.exists(str(tmp_path / "0000.png"))
