@@ -246,6 +246,14 @@ class Runner:
             verts, np.asarray(self.model.faces), uv_mesh.uvs,
             uv_mesh.face_uvs, texture=img,
         )
+        if self.args.debug:
+            scan_face_uvs2 = scan.uvs[scan.face_uvs]
+            texfit.render_compare(
+                (verts, np.asarray(self.model.faces), smpl_face_uvs, img),
+                (scan.verts, scan.faces, scan_face_uvs2, scan.texture),
+                os.path.join(out_dir, "render"),
+                viewnum=36, imgsize=self.args.load_size,
+            )
 
     def run_output(self, subject):
         import shutil
