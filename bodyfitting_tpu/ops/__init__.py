@@ -14,3 +14,27 @@ from bodyfitting_tpu.ops.camera import (  # noqa: F401
     adjust_intrinsics_for_crop,
     invert_rigid,
 )
+from bodyfitting_tpu.ops.nearest import (  # noqa: F401
+    nearest_point_on_mesh,
+    nearest_points,
+    closest_point_on_triangles,
+)
+from bodyfitting_tpu.ops.rasterize import (  # noqa: F401
+    rasterize,
+    project_faces,
+    render_attributes,
+    render_silhouette,
+    render_depth,
+    sample_texture,
+    soft_silhouette,
+)
+from bodyfitting_tpu.ops.mesh_queries import (  # noqa: F401
+    inside_mesh,
+    intersects_any,
+)
+from bodyfitting_tpu.ops.sdf import (  # noqa: F401
+    DistanceVolume,
+    build_distance_volume,
+    query_distance,
+)
+from bodyfitting_tpu.ops.geometry import estimate_translation  # noqa: F401

@@ -1,0 +1,1 @@
+"""Host-side utilities: image transforms, observability, capture tooling."""
