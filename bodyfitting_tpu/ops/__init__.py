@@ -19,8 +19,9 @@ from bodyfitting_tpu.ops.nearest import (  # noqa: F401
     nearest_points,
     closest_point_on_triangles,
 )
+# NOTE: the rasterize() function is NOT re-exported — it would shadow the
+# `bodyfitting_tpu.ops.rasterize` module name; use ops.rasterize.rasterize.
 from bodyfitting_tpu.ops.rasterize import (  # noqa: F401
-    rasterize,
     project_faces,
     render_attributes,
     render_silhouette,
