@@ -52,6 +52,10 @@ class FitConfig:
     use_mesh: bool = False
     displacement: bool = False
     optimize_jaw: bool = False
+    # The reference never optimizes expressions either: it creates no
+    # expression tensor and smplx's internal zero buffer is used
+    # (smplify.py:117-128,167-173).  True = deliberate capability upgrade.
+    optimize_expression: bool = False
     imsize: float = 512.0
     sigma: float = 100.0
     pose_prior_weight: float = 4.78
@@ -168,6 +172,8 @@ def _make_optimizer(config: FitConfig, params: FitParams):
         }
         if not config.optimize_jaw:
             body_lrs["jaw_pose"] = jnp.zeros_like(p.body.jaw_pose)
+        if not config.optimize_expression:
+            body_lrs["expression"] = jnp.zeros_like(p.body.expression)
         return FitParams(
             body=bm.BodyParams(**body_lrs),
             global_transl=jnp.full_like(p.global_transl, config.transl_lr),
