@@ -282,10 +282,17 @@ class Runner:
         init_list = [i for _, i in inputs]
         if self.args.smplx_with_smpl_init and self.args.smpl_type == "smplx":
             init_list = self._smpl_init_stage(obs_list, init_list, config)
-        _, results, _ = bf.fit_frames_batched(
+        _, results, losses = bf.fit_frames_batched(
             self.model, config, obs_list, init_list, self.prior
         )
+        # Loss curves on by default (the reference has none, SURVEY §5);
+        # one JSONL record per fitted frame.
+        from bodyfitting_tpu.utils.observability import LossTrace
+
+        trace = LossTrace(os.path.join(self.output_dir, "loss_trace.jsonl"))
+        losses_np = np.asarray(losses)
         for bi, frame in enumerate(frames):
+            trace.record(int(frame), losses_np[bi])
             result = {k: np.asarray(v[bi]) for k, v in results.items()}
             out_dir = os.path.join(
                 self.output_dir, "%06d" % frame, "smplify"

@@ -183,11 +183,17 @@ class Runner:
         )
         import jax
 
-        _, result, _ = jax.jit(
+        _, result, losses = jax.jit(
             lambda o, i: smplify.fit(self.model, config, o, i, self.prior)
         )(obs, init)
         result = {k: np.asarray(v) for k, v in result.items()}
         out_dir = os.path.join(self.output_dir, subject, "smplify")
+        # Loss curves on by default (the reference has none, SURVEY §5).
+        from bodyfitting_tpu.utils.observability import LossTrace
+
+        LossTrace(os.path.join(self.output_dir, "loss_trace.jsonl")).record(
+            subject, np.asarray(losses)
+        )
         bf.save_frame_outputs(
             out_dir, self.args.smpl_type, self.model, result,
             images=images, c2ws=c2ws, Ks=Ks, debug=self.args.debug,

@@ -67,7 +67,6 @@ class FitConfig:
     stage_gate_den: int = 3          # gate = num_iters // stage_gate_den
     adam_b1: float = 0.9
     adam_b2: float = 0.999
-    trace_every: int = 0             # >0: record loss every N steps
     # 'sdf' queries a precomputed distance volume per iteration (O(Q),
     # ~1000x cheaper; requires obs.scan_volume); 'exact' re-runs the
     # dense nearest-point sweep like the reference.
@@ -75,6 +74,13 @@ class FitConfig:
     # rematerialize the body-model forward in the backward pass instead of
     # saving its [B,V,*] intermediates (HBM-bound, see BENCH_NOTES.md)
     remat_forward: bool = False
+    # Keypoint-only fits never read full vertices inside the hot loop:
+    # reduce the model to the ~250 vertex rows the joints touch and fold
+    # J_regressor into the bases (models.body_model.reduce_for_joints),
+    # making each iteration independent of V.  Exact for the loss; the
+    # returned vertices still come from the full model.  Auto-disabled
+    # when use_mask/use_mesh need full vertices per iteration.
+    reduce_joints_only: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -283,10 +289,21 @@ def fit(
     tx = _make_optimizer(config, init)
     opt_state = tx.init(init)
 
+    loss_model = model
+    if config.reduce_joints_only and not (config.use_mask or config.use_mesh):
+        try:
+            # Static host-side reduction; requires concrete model arrays
+            # (the normal case: the model is closed over, not a jit arg).
+            loss_model = bm.reduce_for_joints(model)
+        except jax.errors.TracerArrayConversionError:
+            loss_model = model
+
     def step_fn(carry, step):
         params, opt_state = carry
         (loss, terms), grads = jax.value_and_grad(
-            lambda p: fit_loss(model, config, p, obs, step, pose_prior_fn),
+            lambda p: fit_loss(
+                loss_model, config, p, obs, step, pose_prior_fn
+            ),
             has_aux=True,
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)

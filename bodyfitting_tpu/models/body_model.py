@@ -200,6 +200,13 @@ class BodyModel:
     selector_ids: Optional[jax.Array]       # [21] vertex-picked joints
     joint_mapper: Optional[jax.Array]       # [M] output permutation
     kid_shape_dir: Optional[jax.Array]      # [3V] SMIL-template blend dir
+    # Folded joint regression (set by reduce_for_joints): rest joints as a
+    # direct linear function of betas/expression, J_regressor pre-applied.
+    # When present, lbs() skips the [J, V] regression over v_shaped.
+    J_template: Optional[jax.Array] = None      # [J, 3]
+    J_shapedirs: Optional[jax.Array] = None     # [S, J*3]
+    J_exprdirs: Optional[jax.Array] = None      # [E, J*3]
+    J_kid_dir: Optional[jax.Array] = None       # [J*3]
     # --- static metadata ---------------------------------------------------
     model_type: str = "smpl"       # 'smpl' | 'smplh' | 'smplx'
     parents: tuple = ()            # [J] kinematic tree, parents[0] == -1
@@ -232,6 +239,7 @@ jax.tree_util.register_dataclass(
         "hand_mean_l", "hand_mean_r", "lmk_faces_idx", "lmk_bary_coords",
         "dyn_lmk_faces_idx", "dyn_lmk_bary_coords", "extra_joint_regressor",
         "selector_ids", "joint_mapper", "kid_shape_dir",
+        "J_template", "J_shapedirs", "J_exprdirs", "J_kid_dir",
     ],
     meta_fields=[
         "model_type", "parents", "neck_chain", "num_betas",
@@ -421,6 +429,24 @@ def _face_landmarks(
     return jnp.einsum("lvc,lv->lc", tri_verts, lmk_bary)
 
 
+# Fused-skinning switch.  "on" forces the Pallas kernel (parity-exact with
+# the XLA path; tests run it in interpret mode).  Measured on a v5e
+# (bench_skinning.py): the XLA matmul+einsum is MXU-pad-bound at ~1.7 ms
+# fwd+bwd (B=128, V=10475) and the v1 kernel's [TV, 3] trailing-dim blocks
+# are DMA-bound at ~12.5 ms, so "auto" currently resolves to the XLA path —
+# the joints-only reduction (reduce_for_joints) removed this op from the
+# keypoint hot loop entirely, which superseded the fusion lever.
+FUSED_SKINNING = "auto"
+
+
+def _use_fused_skinning(model: BodyModel) -> bool:
+    if FUSED_SKINNING == "off" or FUSED_SKINNING == "auto":
+        return False
+    if model.lbs_weights.dtype != jnp.float32:
+        return False
+    return True
+
+
 def lbs(model: BodyModel, params: BodyParams):
     """Core linear-blend-skinning forward pass for one frame.
 
@@ -443,7 +469,23 @@ def lbs(model: BodyModel, params: BodyParams):
             -1, 3
         )
 
-    rest_joints = vertices2joints(model.J_regressor, v_shaped)
+    if model.J_template is not None:
+        # Folded joint regression (reduce_for_joints): J_regressor applied
+        # to the bases once at reduction time, so rest joints cost O(S*J)
+        # instead of O(J*V).  Same math by linearity of the regression.
+        rest_joints = model.J_template + blend_shapes(
+            shape_betas, model.J_shapedirs
+        )
+        if model.num_expressions and model.J_exprdirs is not None:
+            rest_joints = rest_joints + blend_shapes(
+                params.expression, model.J_exprdirs
+            )
+        if model.J_kid_dir is not None:
+            rest_joints = rest_joints + params.betas[-1] * (
+                model.J_kid_dir.reshape(-1, 3)
+            )
+    else:
+        rest_joints = vertices2joints(model.J_regressor, v_shaped)
 
     rot_mats = rodrigues(full_pose_aa.reshape(-1, 3))      # [J, 3, 3]
     eye = jnp.eye(3, dtype=rot_mats.dtype)
@@ -454,17 +496,23 @@ def lbs(model: BodyModel, params: BodyParams):
         rot_mats, rest_joints, model.parents
     )
 
-    # Skinning: one MXU matmul [V,J] @ [J,12] (the 3x4 affine rows — the
-    # constant bottom row would only add HBM traffic; the [B,V,.] blended
-    # transform is the fit's bandwidth bottleneck, see BENCH_NOTES.md).
-    T = jnp.matmul(
-        model.lbs_weights,
-        rel_tf[:, :3, :].reshape(model.num_joints, 12),
-        preferred_element_type=jnp.float32,
-    ).reshape(model.num_verts, 3, 4)
-    verts = (
-        jnp.einsum("vij,vj->vi", T[:, :, :3], v_posed) + T[:, :, 3]
-    )
+    # Skinning.  The [B,V,12] blended transform is the fit's bandwidth
+    # bottleneck (BENCH_NOTES.md); on TPU a fused Pallas kernel streams
+    # A[J,12] through VMEM and never materializes it.  Elsewhere (and for
+    # small/reduced models, where kernel launch overhead loses) one MXU
+    # matmul + einsum.
+    A12 = rel_tf[:, :3, :].reshape(model.num_joints, 12)
+    if _use_fused_skinning(model):
+        from bodyfitting_tpu.ops.pallas_kernels import make_fused_skinning
+
+        verts = make_fused_skinning(model.lbs_weights)(A12, v_posed)
+    else:
+        T = jnp.matmul(
+            model.lbs_weights, A12, preferred_element_type=jnp.float32
+        ).reshape(model.num_verts, 3, 4)
+        verts = (
+            jnp.einsum("vij,vj->vi", T[:, :, :3], v_posed) + T[:, :, 3]
+        )
     return verts, posed_joints, full_pose_aa
 
 
@@ -683,6 +731,129 @@ def spin_joint_mapper_for_smpl(model: BodyModel) -> BodyModel:
 
 
 # ---------------------------------------------------------------------------
+# Joints-only model reduction
+# ---------------------------------------------------------------------------
+
+
+def reduce_for_joints(model: BodyModel) -> BodyModel:
+    """Shrink a model to the vertex rows its *joints* actually depend on.
+
+    A keypoint-only fit (the reference's default GeneBody configuration,
+    /root/reference/apps/genebody_fitting.py:42 ``use_mask=False``) never
+    consumes full vertices inside the hot loop — the loss reads joints,
+    which touch vertices only through the 21 selector picks and the face
+    landmark triangles.  This reduction makes the per-iteration forward
+    independent of V:
+
+      * ``J_regressor @ v_shaped`` is folded into per-beta joint bases
+        (``J_template``/``J_shapedirs``/``J_exprdirs``/``J_kid_dir``),
+        exact by linearity of the regression;
+      * vertex-level arrays are restricted to the ~250 rows reachable from
+        ``selector_ids`` and the (static + dynamic-contour) landmark
+        triangles, with all index tables remapped.
+
+    The returned model computes the identical ``joints`` (same float ops on
+    the kept rows) while ``vertices`` has only the kept rows — callers that
+    need full vertices (mask/mesh losses, final outputs) keep the original
+    model.  SPIN extra joints (``extra_joint_regressor``, a dense [9, V]
+    map over *posed* vertices) cannot be row-restricted; they are zeroed,
+    so for SMPL only the OpenPose block of the 49-joint layout is exact —
+    the same caveat as :func:`spin_joint_mapper_for_smpl` without the
+    extra-regressor asset, and irrelevant to the fitting losses which read
+    the first 25 joints only (reference smplify/loss.py:163).
+    """
+    faces = np.asarray(model.faces)
+    sel = np.asarray(model.selector_ids) if model.selector_ids is not None \
+        else np.zeros((0,), np.int32)
+
+    # Face rows the landmarks read, old-face-id -> new-face-row remap.
+    fids = []
+    if model.lmk_faces_idx is not None:
+        fids.append(np.asarray(model.lmk_faces_idx).ravel())
+    if model.dyn_lmk_faces_idx is not None and model.use_face_contour:
+        fids.append(np.asarray(model.dyn_lmk_faces_idx).ravel())
+    fids = (np.unique(np.concatenate(fids)) if fids
+            else np.zeros((0,), np.int64))
+    kept_faces = faces[fids]                              # [Fk, 3]
+
+    # Vertex rows reachable from selectors + kept faces, old->new remap.
+    vids = np.unique(np.concatenate([sel.ravel(), kept_faces.ravel()]))
+    vmap_ = np.full((model.num_verts,), -1, np.int64)
+    vmap_[vids] = np.arange(len(vids))
+
+    col3 = (vids[:, None] * 3 + np.arange(3)).ravel()     # basis columns
+
+    def cols(a):
+        return None if a is None else a[:, col3]
+
+    def remap_faces(idx):
+        pos = np.searchsorted(fids, np.asarray(idx).ravel())
+        return jnp.asarray(pos.reshape(np.asarray(idx).shape), jnp.int32)
+
+    # Fold the joint regression into the bases (host, float64 for accuracy).
+    Jreg = np.asarray(model.J_regressor, np.float64)
+    dt = model.v_template.dtype
+
+    def fold(basis):
+        if basis is None:
+            return None
+        b = np.asarray(basis, np.float64).reshape(
+            basis.shape[0], model.num_verts, 3
+        )
+        return jnp.asarray(
+            np.einsum("svc,jv->sjc", b, Jreg).reshape(basis.shape[0], -1), dt
+        )
+
+    J_template = jnp.asarray(
+        Jreg @ np.asarray(model.v_template, np.float64), dt
+    )
+    J_kid = None
+    if model.kid_shape_dir is not None:
+        kd = np.asarray(model.kid_shape_dir, np.float64).reshape(-1, 3)
+        J_kid = jnp.asarray((Jreg @ kd).reshape(-1), dt)
+
+    return dataclasses.replace(
+        model,
+        v_template=model.v_template[vids],
+        shapedirs=cols(model.shapedirs),
+        posedirs=cols(model.posedirs),
+        expr_dirs=cols(model.expr_dirs),
+        kid_shape_dir=(
+            None if model.kid_shape_dir is None
+            else model.kid_shape_dir.reshape(-1, 3)[vids].reshape(-1)
+        ),
+        lbs_weights=model.lbs_weights[vids],
+        J_regressor=jnp.zeros((model.num_joints, len(vids)), dt),
+        faces=jnp.asarray(vmap_[kept_faces], jnp.int32),
+        lmk_faces_idx=(
+            None if model.lmk_faces_idx is None
+            else remap_faces(model.lmk_faces_idx)
+        ),
+        dyn_lmk_faces_idx=(
+            None if model.dyn_lmk_faces_idx is None
+            else remap_faces(model.dyn_lmk_faces_idx)
+        ),
+        selector_ids=(
+            None if model.selector_ids is None
+            else jnp.asarray(vmap_[sel], jnp.int32)
+        ),
+        # Dense [9, V] over posed vertices: not row-restrictable.  Kept as
+        # zeros so the SPIN permutation stays shape-valid (rows >= 25 are
+        # zero, the same caveat as spin_joint_mapper_for_smpl without the
+        # asset); the OpenPose block the losses read is unaffected.
+        extra_joint_regressor=(
+            None if model.extra_joint_regressor is None
+            else jnp.zeros((model.extra_joint_regressor.shape[0], len(vids)),
+                           dt)
+        ),
+        J_template=J_template,
+        J_shapedirs=fold(model.shapedirs),
+        J_exprdirs=fold(model.expr_dirs),
+        J_kid_dir=J_kid,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Synthetic fixtures (tests / benchmarks without licensed assets)
 # ---------------------------------------------------------------------------
 
@@ -740,22 +911,34 @@ def synthetic_model(
     S = num_betas
     shapedirs = rng.normal(scale=0.01, size=(S, V * 3))
     posedirs = rng.normal(scale=0.001, size=((J - 1) * 9, V * 3))
-    # Random triangulation over vertices.
+    # Random triangulation over vertices.  The first `lmk_pool` faces form a
+    # clustered "head" region (vertices from a V//10 range): the real
+    # SMPL-X landmark tables reference a few hundred unique faces whose
+    # vertices all sit on the head, and tests/benches of the joints-only
+    # reduction need that locality to be representative.
     F = max(2 * V, 64)
     faces = rng.integers(0, V, size=(F, 3)).astype(np.int32)
+    lmk_pool = min(max(F // 16, 8), 256)
+    head_verts = max(V // 10, 8)
+    faces[:lmk_pool] = rng.integers(0, head_verts, size=(lmk_pool, 3))
 
     is_x = model_type == "smplx"
     has_hands = model_type in ("smplh", "smplx")
     E = num_expressions if is_x else 0
     arr = lambda x: jnp.asarray(x, dtype=dtype)  # noqa: E731
 
-    lmk_faces = rng.integers(0, F, size=(51,)).astype(np.int32) if is_x else None
+    # Landmark tables draw from the clustered head-region faces above, as
+    # the real SMPL-X asset does.
+    lmk_faces = (
+        rng.integers(0, lmk_pool, size=(51,)).astype(np.int32)
+        if is_x else None
+    )
     lmk_bary = None
     dyn_faces = dyn_bary = None
     if is_x:
         b = rng.random((51, 3))
         lmk_bary = b / b.sum(-1, keepdims=True)
-        dyn_faces = rng.integers(0, F, size=(79, 17)).astype(np.int32)
+        dyn_faces = rng.integers(0, lmk_pool, size=(79, 17)).astype(np.int32)
         db = rng.random((79, 17, 3))
         dyn_bary = db / db.sum(-1, keepdims=True)
 

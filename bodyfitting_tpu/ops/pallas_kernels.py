@@ -551,3 +551,156 @@ def rasterize_pallas(
     return RasterOut(
         face_idx=fidx, bary=bary.reshape(H, W, 3), depth=depth
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused linear-blend skinning
+# ---------------------------------------------------------------------------
+#
+# The fit's full-vertex forward is HBM-bound on the blended transform
+# T = lbs_weights @ A ([B, V, 12] written + re-read by the skinning einsum
+# and its backward; see BENCH_NOTES.md).  This kernel streams A[J, 12]
+# through VMEM, keeps the whole weight matrix resident (V x J f32 ~ 5.4 MB
+# for SMPL-X, fetched once), and accumulates vertices tile by tile so T is
+# never materialized in HBM.  Backward recomputes T per tile and emits
+# per-tile dA partials (summed outside, [tiles, J, 12] is tiny).
+#
+# Replaces the last stage of the reference smplx LBS (the `torch.einsum`
+# over per-vertex 4x4 transforms inside the smplx pip package used at
+# /root/reference/smplify/smplify.py:80); the reference never fuses this.
+#
+# The returned function closes over `weights`, so no cotangent is ever
+# computed for the weight matrix (the fit treats it as a constant; a
+# per-frame [B, V, J] weight cotangent under vmap would dwarf the savings).
+
+
+def _skin_fwd_kernel(w_ref, a_ref, vp_ref, out_ref, *, vert_tile):
+    i = pl.program_id(0)
+    W = w_ref[pl.ds(i * vert_tile, vert_tile), :]          # [TV, J]
+    T = jnp.dot(W, a_ref[:], preferred_element_type=jnp.float32)  # [TV, 12]
+    vp = vp_ref[:]                                         # [TV, 3]
+    cols = []
+    for r in range(3):
+        acc = T[:, 4 * r + 3:4 * r + 4]
+        for k in range(3):
+            acc = acc + T[:, 4 * r + k:4 * r + k + 1] * vp[:, k:k + 1]
+        cols.append(acc)
+    out_ref[:] = jnp.concatenate(cols, axis=-1)
+
+
+def _skin_bwd_kernel(w_ref, a_ref, vp_ref, g_ref, dvp_ref, da_ref, *,
+                     vert_tile):
+    i = pl.program_id(0)
+    W = w_ref[pl.ds(i * vert_tile, vert_tile), :]          # [TV, J]
+    T = jnp.dot(W, a_ref[:], preferred_element_type=jnp.float32)  # [TV, 12]
+    g = g_ref[:]                                           # [TV, 3]
+    vp = vp_ref[:]                                         # [TV, 3]
+
+    # dvp[:, k] = sum_r T[:, 4r+k] * g[:, r]
+    cols = []
+    for k in range(3):
+        acc = T[:, k:k + 1] * g[:, 0:1]
+        for r in range(1, 3):
+            acc = acc + T[:, 4 * r + k:4 * r + k + 1] * g[:, r:r + 1]
+        cols.append(acc)
+    dvp_ref[:] = jnp.concatenate(cols, axis=-1)
+
+    # M[:, 4r+k] = g[:, r] * vph[:, k]  (vph = [vp, 1])
+    blocks = []
+    for r in range(3):
+        gr = g[:, r:r + 1]
+        blocks.extend([gr * vp[:, 0:1], gr * vp[:, 1:2], gr * vp[:, 2:3], gr])
+    M = jnp.concatenate(blocks, axis=-1)                   # [TV, 12]
+    # dA partial for this tile: W^T @ M  -> [J, 12]
+    da_ref[0] = jax.lax.dot_general(
+        W, M, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def make_fused_skinning(
+    weights: jax.Array,
+    vert_tile: int = 1024,
+    interpret: bool = False,
+):
+    """Build ``skin(A [J, 12], v_posed [V, 3]) -> verts [V, 3]``.
+
+    ``weights`` ([V, J] skinning matrix) is closed over and held fully in
+    VMEM (constant block index => fetched once, including under ``vmap``
+    over frames, where the batch only prepends a grid axis).  The function
+    is differentiable in A and v_posed via a fused backward kernel and is
+    safe to ``vmap``/``jit``.
+    """
+    V, J = weights.shape
+    TV = min(vert_tile, max(128, V))
+    Vp = _cdiv(V, TV) * TV
+    tiles = Vp // TV
+    w_pad = jnp.pad(weights, ((0, Vp - V), (0, 0)))
+
+    def fwd_call(A, vp):
+        vp_pad = jnp.pad(vp, ((0, Vp - V), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(_skin_fwd_kernel, vert_tile=TV),
+            grid=(tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((TV, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TV, 3), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Vp, 3), jnp.float32),
+            interpret=interpret,
+        )(w_pad, A, vp_pad)
+        return out[:V]
+
+    def bwd_call(A, vp, g):
+        vp_pad = jnp.pad(vp, ((0, Vp - V), (0, 0)))
+        g_pad = jnp.pad(g, ((0, Vp - V), (0, 0)))
+        dvp, da_part = pl.pallas_call(
+            functools.partial(_skin_bwd_kernel, vert_tile=TV),
+            grid=(tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((TV, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TV, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((TV, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, J, 12), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((Vp, 3), jnp.float32),
+                jax.ShapeDtypeStruct((tiles, J, 12), jnp.float32),
+            ),
+            interpret=interpret,
+        )(w_pad, A, vp_pad, g_pad)
+        return da_part.sum(axis=0), dvp[:V]
+
+    @jax.custom_vjp
+    def skin(A, vp):
+        return fwd_call(A, vp)
+
+    def skin_fwd(A, vp):
+        return fwd_call(A, vp), (A, vp)
+
+    def skin_bwd(res, g):
+        A, vp = res
+        return bwd_call(A, vp, g)
+
+    skin.defvjp(skin_fwd, skin_bwd)
+    return skin
+
+
+def skinning_xla(weights: jax.Array, A12: jax.Array,
+                 v_posed: jax.Array) -> jax.Array:
+    """Pure-XLA reference skinning (what lbs() does without the kernel)."""
+    T = jnp.matmul(weights, A12, preferred_element_type=jnp.float32)
+    T = T.reshape(weights.shape[0], 3, 4)
+    return jnp.einsum("vij,vj->vi", T[:, :, :3], v_posed) + T[:, :, 3]
