@@ -10,9 +10,12 @@ hand.py:26-86, util.py:128-190):
   * limb scoring by line integrals along the part-affinity fields with the
     distance prior, greedy bipartite matching, and person grouping with
     subset merging (the published greedy PAF algorithm);
-  * hand boxes from wrist/elbow/shoulder geometry, hand heatmap argmax;
-  * :func:`detect_to_json` emits OpenPose-format JSON files, making this a
-    drop-in replacement for the external binary in the fitting apps.
+  * hand boxes from wrist/elbow/shoulder geometry and face boxes from
+    head keypoints; hand/face heatmap peaks carry their real heatmap
+    scores as confidences;
+  * :func:`detect_to_json` emits OpenPose-format JSON files (body + hands
+    + 70-point face), making this a drop-in replacement for the external
+    binary's ``--hand --face`` invocation in the fitting apps.
 
 The network forward runs jitted (batched over scales when shapes allow);
 everything data-dependent stays in numpy, mirroring the reference split.
@@ -286,26 +289,103 @@ class HandDetector:
         )
 
     def __call__(self, crop_img: np.ndarray, thre: float = 0.05):
-        from scipy.ndimage import gaussian_filter, label
-
         (heatmap_avg,) = _multiscale_maps(
             self._apply, crop_img, [22], scales=self.scales
         )
-        peaks = []
-        for part in range(21):
-            m = heatmap_avg[:, :, part]
-            sm = gaussian_filter(m, sigma=3)
-            binary = (sm > thre).astype(np.uint8)
-            if binary.sum() == 0:
-                peaks.append([0, 0])
-                continue
-            labels, n = label(binary)
-            sums = [m[labels == i].sum() for i in range(1, n + 1)]
-            best = int(np.argmax(sums)) + 1
-            masked = np.where(labels == best, m, 0)
-            y, x = np.unravel_index(np.argmax(masked), masked.shape)
-            peaks.append([int(x), int(y)])
-        return np.array(peaks)
+        return _crop_peaks_with_scores(heatmap_avg, 21, thre)
+
+
+def _crop_peaks_with_scores(heatmap_avg, n_parts: int, thre: float):
+    """Per-part strongest-blob peak with its real heatmap score.
+
+    Returns ``[n_parts, 3]`` (x, y, score); score 0 marks a miss.  The
+    score is the raw heatmap value at the peak — downstream losses weight
+    keypoints by conf^2 (reference loss.py:134), so the binary's actual
+    confidence semantics matter, not a 0/1 presence flag.
+    """
+    from scipy.ndimage import gaussian_filter, label
+
+    peaks = []
+    for part in range(n_parts):
+        m = heatmap_avg[:, :, part]
+        sm = gaussian_filter(m, sigma=3)
+        binary = (sm > thre).astype(np.uint8)
+        if binary.sum() == 0:
+            peaks.append([0.0, 0.0, 0.0])
+            continue
+        labels, n = label(binary)
+        sums = [m[labels == i].sum() for i in range(1, n + 1)]
+        best = int(np.argmax(sums)) + 1
+        masked = np.where(labels == best, m, 0)
+        y, x = np.unravel_index(np.argmax(masked), masked.shape)
+        peaks.append([float(x), float(y), float(m[y, x])])
+    return np.array(peaks, np.float32)
+
+
+class FaceDetector:
+    """70-keypoint face detector on a square crop.
+
+    The counterpart of the binary's ``--face`` stage
+    (/root/reference/apps/genebody_fitting.py:148); the reference's in-repo
+    fallback has no face net at all.  Peak extraction mirrors the hand
+    path: strongest blob per part, real heatmap value as confidence.
+    """
+
+    def __init__(self, checkpoint_path: Optional[str] = None,
+                 scales=(1.0,), boxsize: int = 368):
+        from bodyfitting_tpu.models.openpose import load_face_net
+
+        self.model, self.variables = load_face_net(checkpoint_path)
+        self.scales = scales
+        self.boxsize = boxsize
+        self._apply = jax.jit(
+            lambda x: self.model.apply(self.variables, x)
+        )
+
+    def __call__(self, crop_img: np.ndarray, thre: float = 0.05):
+        (heatmap_avg,) = _multiscale_maps(
+            self._apply, crop_img, [71], scales=self.scales,
+            boxsize=self.boxsize,
+        )
+        return _crop_peaks_with_scores(heatmap_avg, 70, thre)
+
+
+def face_box(candidate, person_row, img_shape):
+    """Square face crop from body keypoints; ``(x, y, w)`` or ``None``.
+
+    Re-derivation of the binary's face-ROI-from-pose heuristic: center on
+    the nose (fallback: eye/ear mean), size from the neck-nose distance
+    (fallback: inter-ear/eye span).  COCO-18 part order: nose 0, neck 1,
+    eyes 14/15, ears 16/17 (1-based slots 1, 2, 15, 16, 17, 18).
+    """
+    H, W = img_shape[:2]
+    person = person_row.astype(int)
+
+    def pt(part):                       # COCO-18, 0-based
+        idx = person[part]
+        return candidate[idx][:2] if idx >= 0 else None
+
+    nose, neck = pt(0), pt(1)
+    eyes = [p for p in (pt(14), pt(15)) if p is not None]
+    ears = [p for p in (pt(16), pt(17)) if p is not None]
+    head_pts = [p for p in [nose] + eyes + ears if p is not None]
+    if not head_pts:
+        return None
+    center = np.mean(head_pts, axis=0)
+    if nose is not None and neck is not None:
+        size = 1.5 * math.hypot(*(np.asarray(nose) - neck))
+    elif len(ears) == 2:
+        size = 3.0 * math.hypot(*(np.asarray(ears[0]) - ears[1]))
+    elif len(eyes) == 2:
+        size = 4.0 * math.hypot(*(np.asarray(eyes[0]) - eyes[1]))
+    else:
+        size = 0.25 * H
+    x = max(center[0] - size / 2, 0)
+    y = max(center[1] - size / 2, 0)
+    size = min(size, W - x, H - y)
+    if size < 20:
+        return None
+    return int(x), int(y), int(size)
 
 
 def person_to_body25(candidate, person_row):
@@ -328,13 +408,16 @@ def detect_to_json(
     body: BodyDetector,
     hand: Optional[HandDetector] = None,
     hand_face: bool = False,
+    face: Optional[FaceDetector] = None,
 ):
     """Run detection over a directory and write OpenPose-format JSONs.
 
     Drop-in for the reference's binary invocation (genebody_fitting.py:
-    144-155): per image ``<stem>_keypoints.json`` with
+    144-155, ``--hand --face``): per image ``<stem>_keypoints.json`` with
     ``people[*].pose_keypoints_2d`` (75 floats) and, with ``hand_face``,
-    hand keypoint blocks from the hand network.
+    hand (21x3 each) and face (70x3) keypoint blocks from the hand/face
+    networks.  Confidences are the real heatmap peak scores — the fitting
+    losses weight by conf^2 (reference loss.py:134).
     """
     import cv2
 
@@ -360,12 +443,11 @@ def detect_to_json(
                     crop = img[y:y + w, x:x + w]
                     if is_left:
                         crop = cv2.flip(crop, 1)
-                    pk = hand(crop).astype(np.float32)
+                    block = hand(crop).astype(np.float32)   # [21,3] x,y,score
                     if is_left:
-                        pk[:, 0] = w - 1 - pk[:, 0]
-                    pk += np.array([x, y], np.float32)
-                    conf = (pk.sum(1) > 0).astype(np.float32)
-                    block = np.concatenate([pk, conf[:, None]], 1)
+                        block[:, 0] = w - 1 - block[:, 0]
+                    block[:, :2] += np.array([x, y], np.float32)
+                    block[:, :2] *= (block[:, 2:] > 0)      # zero misses
                     if is_left:
                         lh = block
                     else:
@@ -375,6 +457,18 @@ def detect_to_json(
                 ]
                 person["hand_right_keypoints_2d"] = [
                     float(v) for v in rh.reshape(-1)
+                ]
+            if hand_face and face is not None:
+                fkp = np.zeros((70, 3), np.float32)
+                box = face_box(candidate, row, img.shape)
+                if box is not None:
+                    x, y, w = box
+                    block = face(img[y:y + w, x:x + w]).astype(np.float32)
+                    block[:, :2] += np.array([x, y], np.float32)
+                    block[:, :2] *= (block[:, 2:] > 0)
+                    fkp = block
+                person["face_keypoints_2d"] = [
+                    float(v) for v in fkp.reshape(-1)
                 ]
             people.append(person)
         stem = os.path.splitext(name)[0]

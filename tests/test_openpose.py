@@ -199,4 +199,160 @@ def test_hand_detector_smoke():
     crop = (np.random.default_rng(1).uniform(0, 255, size=(64, 64, 3))
             ).astype(np.uint8)
     peaks = det(crop)
-    assert peaks.shape == (21, 2)
+    assert peaks.shape == (21, 3)
+    # detected peaks carry the real heatmap score, not a 0/1 flag
+    found = peaks[peaks[:, 2] > 0]
+    if len(found):
+        assert not np.all(found[:, 2] == 1.0)
+
+
+def test_face_detector_smoke():
+    import numpy as np
+
+    from bodyfitting_tpu.models.openpose_infer import FaceDetector
+
+    det = FaceDetector(scales=(0.5,))
+    crop = (np.random.default_rng(2).uniform(0, 255, size=(64, 64, 3))
+            ).astype(np.uint8)
+    peaks = det(crop)
+    assert peaks.shape == (70, 3)
+    assert np.isfinite(peaks).all()
+
+
+def test_face_box_from_head_keypoints():
+    candidate = np.zeros((4, 4))
+    candidate[0, :2] = [100, 60]   # nose
+    candidate[1, :2] = [100, 100]  # neck
+    candidate[2, :2] = [90, 50]    # left eye (part 14)
+    candidate[3, :2] = [110, 50]   # right eye (part 15)
+    row = -1 * np.ones(20)
+    row[0], row[1], row[14], row[15] = 0, 1, 2, 3
+    box = opi.face_box(candidate, row, (200, 300))
+    assert box is not None
+    x, y, w = box
+    # 1.5x the neck-nose distance (40px) = 60px square around the head
+    assert w == 60
+    assert x <= 100 <= x + w and y <= 60 <= y + w
+
+
+def test_detect_to_json_with_face(tmp_path):
+    """Face block: real FaceDetector pipeline on synthetic heatmaps ->
+    JSON -> loader -> nonzero face confidences in model order."""
+    import cv2
+
+    from bodyfitting_tpu.models.openpose_infer import FaceDetector
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "00.png"), np.zeros((256, 256, 3), np.uint8))
+
+    p = _skeleton(128, 140, s=2.0)
+    heat, paf = _synthetic_fields([p], H=256, W=256)
+
+    class StubBody:
+        def __call__(self, img):
+            peaks = opi.find_peaks(heat, thre1=0.3)
+            return opi.assemble_people(peaks, paf, img_h=256)
+
+    det = FaceDetector(scales=(0.5,))
+
+    def fake_apply(x):
+        # gaussian bumps: part k peaks at a grid position, score ~0.7
+        h, w = x.shape[1] // 8, x.shape[2] // 8
+        hm = np.zeros((1, h, w, 71), np.float32)
+        ys, xs = np.mgrid[0:h, 0:w]
+        for k in range(70):
+            cy, cx = 2 + (k % 5), 2 + (k // 5 % 5)
+            hm[0, :, :, k] = 0.7 * np.exp(
+                -((ys - cy) ** 2 + (xs - cx) ** 2) / 4.0
+            )
+        return jnp.asarray(hm)
+
+    det._apply = fake_apply
+    out_dir = tmp_path / "openpose"
+    opi.detect_to_json(
+        str(img_dir), str(out_dir), StubBody(), hand=None,
+        hand_face=True, face=det,
+    )
+    from bodyfitting_tpu.io import load_openpose
+
+    kp = load_openpose(str(out_dir / "00_keypoints.json"))
+    assert kp is not None and "face" in kp
+    assert kp["face"].shape == (70, 3)
+    assert (kp["face"][:, 2] > 0).sum() >= 60
+    # confidences are heatmap scores, not presence flags
+    conf = kp["face"][kp["face"][:, 2] > 0, 2]
+    assert np.all(conf < 1.0) and np.all(conf > 0.05)
+
+
+def test_smplx_fit_from_native_detector(tmp_path):
+    """End-to-end: native detector JSONs (body + face w/ real confidences)
+    -> pack_keypoints -> SMPL-X fit; the face term contributes to the loss."""
+    import cv2
+
+    from bodyfitting_tpu.fitting import smplify
+    from bodyfitting_tpu.io import load_openpose
+    from bodyfitting_tpu.io.openpose import pack_keypoints
+    from bodyfitting_tpu.losses.priors import synthetic_gmm_prior
+    from bodyfitting_tpu.models import body_model as bm
+    from bodyfitting_tpu.models.openpose_infer import FaceDetector
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "00.png"), np.zeros((256, 256, 3), np.uint8))
+
+    p = _skeleton(128, 140, s=2.0)
+    heat, paf = _synthetic_fields([p], H=256, W=256)
+
+    class StubBody:
+        def __call__(self, img):
+            peaks = opi.find_peaks(heat, thre1=0.3)
+            return opi.assemble_people(peaks, paf, img_h=256)
+
+    det = FaceDetector(scales=(0.5,))
+
+    def fake_apply(x):
+        h, w = x.shape[1] // 8, x.shape[2] // 8
+        hm = np.zeros((1, h, w, 71), np.float32)
+        ys, xs = np.mgrid[0:h, 0:w]
+        for k in range(70):
+            cy, cx = 2 + (k % 5), 2 + (k // 5 % 5)
+            hm[0, :, :, k] = 0.7 * np.exp(
+                -((ys - cy) ** 2 + (xs - cx) ** 2) / 4.0
+            )
+        return jnp.asarray(hm)
+
+    det._apply = fake_apply
+    out_dir = tmp_path / "openpose"
+    opi.detect_to_json(
+        str(img_dir), str(out_dir), StubBody(), hand=None,
+        hand_face=True, face=det,
+    )
+    kp = load_openpose(str(out_dir / "00_keypoints.json"))
+    packed, view_mask = pack_keypoints([kp], use_hand_face=True)
+    assert packed.shape == (1, 135, 3)
+    face_conf = packed[0, 25 + 42:, 2]
+    assert (face_conf > 0).sum() >= 50      # nonzero face confidences
+
+    model = bm.synthetic_model("smplx", num_verts=512, seed=0,
+                               use_face_contour=True)
+    K = jnp.asarray([[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]])
+    w2c = jnp.eye(4).at[2, 3].set(3.0)
+    obs = smplify.Observations(
+        w2cs=w2c[None], Ks=K[None], keypoints=jnp.asarray(packed),
+        view_mask=jnp.asarray(view_mask), constant_scale=jnp.asarray(0.3),
+    )
+    config = smplify.FitConfig(num_iters=20, imsize=256.0)
+    init = smplify.FitParams.init(model)
+    prior = synthetic_gmm_prior()
+    import jax as _jax
+
+    params, result, losses = _jax.jit(
+        lambda o, i: smplify.fit(model, config, o, i, prior)
+    )(obs, init)
+    assert np.isfinite(np.asarray(losses)).all()
+    # the face block actually enters the objective
+    _, terms = smplify.fit_loss(
+        model, config, init, obs, jnp.asarray(0), prior
+    )
+    assert float(terms["face_loss"]) > 0.0
