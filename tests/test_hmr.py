@@ -84,9 +84,15 @@ class TorchHMR(tnn.Module):
         return pose, shape, cam
 
 
-def test_flax_matches_torch_with_converted_weights():
+@pytest.mark.parametrize(
+    "layers",
+    [
+        (2, 2, 2, 2),                     # shrunken resnet, fast loop
+        pytest.param((3, 4, 6, 3), marks=pytest.mark.slow),  # real ResNet-50
+    ],
+)
+def test_flax_matches_torch_with_converted_weights(layers):
     torch.manual_seed(0)
-    layers = (2, 2, 2, 2)  # shrunken resnet for test speed, same structure
     tmodel = TorchHMR(layers).eval()
     # randomize batchnorm running stats so the test exercises them
     with torch.no_grad():

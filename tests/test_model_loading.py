@@ -150,3 +150,56 @@ def test_load_smpl_pkl_with_chumpy_and_sparse(smpl_pkl):
     np.testing.assert_allclose(
         np.asarray(out.vertices), np.asarray(model.v_template), atol=1e-5
     )
+
+
+def test_golden_forward_from_npz_asset(smplx_npz):
+    """Golden-value fixture: load the (byte-deterministic, seed-0) SMPL-X
+    .npz through the real asset path — uint32 kintree with 2^32-1 root,
+    400-dim shapedirs with the 300:310 expression slice, hand PCA, landmark
+    tables — and pin the forward output at a fixed non-trivial pose.
+
+    The literals below were captured once and independently cross-checked
+    against the torch re-enactment of smplx semantics
+    (fitting/torch_reference.py, agreement < 1e-7), so any silent change in
+    asset parsing, layout, or forward math trips this test.
+    """
+    import dataclasses
+
+    model = bm.load_model(smplx_npz)
+    prng = np.random.default_rng(42)
+    p = dataclasses.replace(
+        bm.BodyParams.zeros(model),
+        betas=jnp.asarray(prng.normal(scale=0.8, size=(10,)), jnp.float32),
+        global_orient=jnp.asarray([0.4, -0.7, 0.25], jnp.float32),
+        body_pose=jnp.asarray(
+            prng.normal(scale=0.25, size=(63,)), jnp.float32),
+        expression=jnp.asarray(
+            prng.normal(scale=0.6, size=(10,)), jnp.float32),
+        jaw_pose=jnp.asarray([0.2, -0.05, 0.1], jnp.float32),
+        left_hand_pose=jnp.asarray(prng.normal(size=(6,)), jnp.float32),
+        right_hand_pose=jnp.asarray(prng.normal(size=(6,)), jnp.float32),
+    )
+    out = bm.forward(model, p)
+
+    golden_verts = np.array([
+        [-0.00633255, -0.07434872, 0.03233631],
+        [0.04585138, 0.09974814, 0.02586859],
+        [-0.09515287, 0.10192651, 0.16676655],
+        [-0.17152068, 0.0045441, 0.05882237],
+        [-0.07900219, -0.10903733, -0.20781614],
+    ], np.float32)
+    golden_joints = np.array([
+        [-0.03399682, -0.1361996, -0.07718547],
+        [-0.00018191, 0.00065142, 0.00025738],
+        [-0.0017539, -0.00069212, 0.00027727],
+        [0.00104491, -0.00226201, -0.00297964],
+        [-0.06173583, -0.05067138, -0.02211942],
+    ], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(out.vertices)[[0, 123, 456, 789, 999]], golden_verts,
+        atol=5e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.joints)[[0, 12, 25, 55, 134]], golden_joints,
+        atol=5e-6,
+    )
