@@ -55,6 +55,9 @@ def config_parser():
     p.add_argument("--smpl_type", default="smpl", type=str)
     p.add_argument("--age", default="adult", type=str)
     p.add_argument("--num_iters", default=600, type=int)
+    p.add_argument("--contour_resample", default=512, type=int,
+                   help="arc-length resample mask contours to this many "
+                        "points (0 = keep every contour pixel)")
     p.add_argument("--batch_frames", default=8, type=int,
                    help="frames fitted concurrently in one jit")
     p.add_argument("--model_path", type=str, default=None,
@@ -221,6 +224,7 @@ class Runner:
             # contour budget (outer contour of a 512^2 person silhouette)
             mask_num_views=len(self.mask_frames),
             contour_pad=8 * self.args.load_size,
+            contour_resample=self.args.contour_resample or None,
         )
         keyframe = (constants.GENEBODY_KEYFRAME
                     if constants.GENEBODY_KEYFRAME in use_frames

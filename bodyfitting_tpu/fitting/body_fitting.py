@@ -108,6 +108,7 @@ def build_observations(
     num_views: Optional[int] = None,
     mask_num_views: Optional[int] = None,
     contour_pad: Optional[int] = None,
+    contour_resample: Optional[int] = 512,
     build_sdf: bool = True,
     sdf_resolution: int = 96,
 ) -> smplify.Observations:
@@ -116,7 +117,10 @@ def build_observations(
     ``num_views`` / ``mask_num_views`` / ``contour_pad`` fix the padded
     shapes so per-frame Observations stack into a batch.  Padded mask
     views are inert: an all-ones mask (zero stay-inside term) with zero
-    contour validity (zero ICP term).
+    contour validity (zero ICP term).  ``contour_resample`` arc-length
+    resamples contours to a fixed point count with pixel-sum-preserving
+    weights (losses.silhouette.resample_contours, ~8x smaller mask-loss
+    transient at 512^2); None keeps every contour pixel.
     """
     c2ws = np.asarray(c2ws, np.float32)
     w2cs = np.linalg.inv(c2ws)
@@ -142,9 +146,16 @@ def build_observations(
         num_views_used=jnp.asarray(float(len(w2cs)), jnp.float32),
     )
     if masks is not None and len(masks) > 0:
-        from bodyfitting_tpu.losses.silhouette import extract_contours
+        from bodyfitting_tpu.losses.silhouette import (
+            extract_contours,
+            resample_contours,
+        )
 
         contours, valid = extract_contours(masks, pad_to=contour_pad)
+        if contour_resample and contours.shape[1] > contour_resample:
+            contours, valid = resample_contours(
+                contours, valid, contour_resample
+            )
         mask_arr = (np.asarray(masks) > 128).astype(np.float32)
         mw2cs = np.linalg.inv(np.asarray(mask_c2ws, np.float32))
         mKs = np.asarray(mask_Ks, np.float32)

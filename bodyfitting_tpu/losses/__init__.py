@@ -22,5 +22,6 @@ from bodyfitting_tpu.losses.mesh import (  # noqa: F401
 )
 from bodyfitting_tpu.losses.silhouette import (  # noqa: F401
     extract_contours,
+    resample_contours,
     silhouette_loss,
 )

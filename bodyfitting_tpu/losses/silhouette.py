@@ -60,6 +60,54 @@ def extract_contours(
     return out, valid
 
 
+def resample_contours(
+    contours: np.ndarray,
+    valid: np.ndarray,
+    num_points: int = 512,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Arc-length-uniform resampling of padded contours (host-side).
+
+    The mask loss's dominant transient is the ``[P, M]`` contour-to-vertex
+    distance matrix; a 512^2 mask's outer contour has P up to ~4096 pixels
+    while the silhouette objective is insensitive to sub-pixel contour
+    density.  Resampling to ``num_points`` shrinks the transient ~8x.
+
+    The returned weights are ``n_original / num_points`` instead of 1.0, so
+    ``sum(mindist * weight)`` keeps the *pixel-sum* magnitude of the
+    reference objective (loss.py:85-130 sums over every contour pixel) and
+    the loss scale — hence the balance against the keypoint/prior terms —
+    is preserved.  Weights fold into ``contour_valid``; the jitted loss is
+    unchanged.
+    """
+    Vm = contours.shape[0]
+    out = np.zeros((Vm, num_points, 2), np.float32)
+    weights = np.zeros((Vm, num_points), np.float32)
+    for i in range(Vm):
+        pts = contours[i][valid[i] > 0]
+        n = pts.shape[0]
+        if n == 0:
+            continue
+        if n <= num_points:
+            out[i, :n] = pts
+            weights[i, :n] = 1.0
+            continue
+        closed = np.concatenate([pts, pts[:1]], axis=0)
+        seg = np.linalg.norm(np.diff(closed, axis=0), axis=1)
+        arc = np.concatenate([[0.0], np.cumsum(seg)])
+        total = arc[-1]
+        targets = np.linspace(0.0, total, num_points, endpoint=False)
+        seg_idx = np.clip(
+            np.searchsorted(arc, targets, side="right") - 1, 0, n - 1
+        )
+        t = (targets - arc[seg_idx]) / np.maximum(seg[seg_idx], 1e-9)
+        out[i] = (
+            closed[seg_idx] * (1.0 - t[:, None])
+            + closed[seg_idx + 1] * t[:, None]
+        )
+        weights[i] = n / float(num_points)
+    return out, weights
+
+
 def _bilinear_sample_zero_pad(img: jax.Array, xy: jax.Array) -> jax.Array:
     """Sample ``img [H, W]`` at pixel coords ``xy [N, 2] (x, y)``, bilinear
     with zero padding, matching ``grid_sample(align_corners=False)`` given

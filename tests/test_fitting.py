@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from bodyfitting_tpu.fitting import smplify
+from bodyfitting_tpu.losses import priors
 from bodyfitting_tpu.models import body_model as bm
 from bodyfitting_tpu.ops.camera import perspective_projection, invert_rigid
 
@@ -175,3 +176,51 @@ def test_mesh_fit_with_displacement(smpl_model, rng):
     # displacement stage losses decreased
     disp_losses = np.asarray(losses[config.num_iters:])
     assert disp_losses[-1] < disp_losses[0]
+
+
+def test_mask_fit_parity_full_vs_resampled_contours(smpl_model, rng):
+    """Silhouette fit with arc-length-resampled contours converges to the
+    same surface as with every contour pixel (the production default)."""
+    from bodyfitting_tpu.losses.silhouette import (
+        extract_contours,
+        resample_contours,
+    )
+
+    model = smpl_model
+    _, obs0 = _gt_setup(model, rng, nviews=3)
+
+    # a synthetic person-ish silhouette seen from one mask view
+    H = 256
+    mask = np.zeros((H, H), np.float32)
+    mask[40:220, 90:170] = 1.0
+    mask[40:90, 70:190] = 1.0
+    contours, valid = extract_contours([mask])
+    rc, rw = resample_contours(contours, valid, 128)
+
+    K = jnp.asarray([[200.0, 0, 128], [0, 200.0, 128], [0, 0, 1]])
+    w2c = jnp.eye(4).at[2, 3].set(3.0)
+    prior = priors.synthetic_gmm_prior()
+    config = smplify.FitConfig(num_iters=90, imsize=256.0, use_mask=True)
+    init = smplify.FitParams.init(model)
+
+    results = {}
+    for name, (c, v) in {
+        "full": (contours, valid), "resampled": (rc, rw)
+    }.items():
+        obs = dataclasses.replace(
+            obs0,
+            masks=jnp.asarray(mask)[None],
+            mask_w2cs=w2c[None], mask_Ks=K[None],
+            contours=jnp.asarray(c), contour_valid=jnp.asarray(v),
+        )
+        _, result, losses = jax.jit(
+            lambda o, i, cf=config: smplify.fit(model, cf, o, i, prior)
+        )(obs, init)
+        assert np.isfinite(np.asarray(losses)).all()
+        results[name] = np.asarray(result["vertices"])
+
+    dv = np.linalg.norm(results["full"] - results["resampled"], axis=-1)
+    body_size = float(
+        results["full"][:, 1].max() - results["full"][:, 1].min()
+    )
+    assert dv.mean() < 0.02 * body_size, (dv.mean(), body_size)

@@ -225,3 +225,39 @@ def test_silhouette_loss_grad_finite(rng):
     )(pts)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_resample_contours_preserves_loss_scale(rng):
+    """Arc-length resampling: ~same silhouette loss at ~8x fewer points."""
+    H = 256
+    mask = np.zeros((H, H), np.float32)
+    mask[40:200, 64:180] = 1.0
+    mask[100:240, 120:160] = 1.0          # non-convex silhouette
+    contours, valid = losses.extract_contours([mask])
+    assert contours.shape[1] > 512
+    rc, rw = losses.resample_contours(contours, valid, 96)
+    assert rc.shape == (1, 96, 2)
+    # weights preserve the pixel-sum scale
+    assert rw[0].sum() == pytest.approx(valid[0].sum(), rel=1e-6)
+
+    K = jnp.array([[200.0, 0, 128], [0, 200.0, 128], [0, 0, 1]])
+    w2c = jnp.eye(4).at[2, 3].set(2.0)
+    pts = jnp.asarray(rng.normal(scale=0.3, size=(120, 3)), jnp.float32)
+
+    full = float(losses.silhouette_loss(
+        jnp.asarray(contours), jnp.asarray(valid), jnp.asarray(mask)[None],
+        w2c[None], K[None], pts, vertex_stride=1, imsize=float(H)))
+    res = float(losses.silhouette_loss(
+        jnp.asarray(rc), jnp.asarray(rw), jnp.asarray(mask)[None],
+        w2c[None], K[None], pts, vertex_stride=1, imsize=float(H)))
+    assert res == pytest.approx(full, rel=0.05)
+
+
+def test_resample_contours_short_contour_passthrough():
+    mask = np.zeros((32, 32), np.float32)
+    mask[12:20, 12:20] = 1.0
+    contours, valid = losses.extract_contours([mask])
+    n = int(valid.sum())
+    rc, rw = losses.resample_contours(contours, valid, 512)
+    assert (rw > 0).sum() == n            # kept verbatim, weight 1
+    np.testing.assert_allclose(rc[0, :n], contours[0, :n])
