@@ -42,6 +42,14 @@ def config_parser():
     p.add_argument("--annot_dir", type=str, default=None,
                    help="annots.npy with camera parameters")
     p.add_argument("--output_dir", type=str, default="./logs")
+    p.add_argument("--native_openpose", default=False, action="store_true",
+                   help="use the in-repo Flax detector (body+hand+face) "
+                        "instead of the external openpose.bin; pass the "
+                        "released checkpoints via --openpose_ckpt_dir")
+    p.add_argument("--openpose_ckpt_dir", type=str, default=None,
+                   help="directory with body_pose_model.pth / "
+                        "hand_pose_model.pth / face_pose_model.pth for the "
+                        "native detector (random init when absent)")
     p.add_argument("--openpose_dir", type=str, default="../openpose",
                    help="directory of the built openpose binary")
     p.add_argument("--info_dir", type=str, default=None,
@@ -117,6 +125,7 @@ class Runner:
         self.mask_frames = list(constants.GENEBODY_MASK_FRAMES)
         self.gender = self._gender()
         self.use_hand_face = args.smpl_type == "smplx"
+        self._native_detectors = None
         self.model = load_body_model(args)
         self.prior = load_prior(args)
         self.hmr = (
@@ -195,6 +204,9 @@ class Runner:
         n_json = len([f for f in os.listdir(wrt_dir) if f.endswith(".json")])
         if n_json >= len(data[0]):
             return                      # cached (genebody_fitting.py:150)
+        if self.args.native_openpose:
+            self._native_detect(img_dir, wrt_dir)
+            return
         hand_face = ["--hand", "--face"] if self.use_hand_face else []
         cmd = [
             "build/examples/openpose/openpose.bin",
@@ -202,6 +214,31 @@ class Runner:
             "--display", "0", "--render_pose", "0",
         ] + hand_face
         subprocess.run(cmd, cwd=self.args.openpose_dir, check=True)
+
+    def _native_detect(self, img_dir, wrt_dir):
+        """In-process drop-in for the binary: Flax body+hand+face nets."""
+        from bodyfitting_tpu.models.openpose_infer import (
+            BodyDetector, FaceDetector, HandDetector, detect_to_json,
+        )
+
+        if self._native_detectors is None:
+            ckpt = self.args.openpose_ckpt_dir
+
+            def path(name):
+                p = os.path.join(ckpt, name) if ckpt else None
+                return p if p and os.path.exists(p) else None
+
+            body = BodyDetector(path("body_pose_model.pth"))
+            hand = face = None
+            if self.use_hand_face:
+                hand = HandDetector(path("hand_pose_model.pth"))
+                face = FaceDetector(path("face_pose_model.pth"))
+            self._native_detectors = (body, hand, face)
+        body, hand, face = self._native_detectors
+        detect_to_json(
+            img_dir, wrt_dir, body, hand=hand,
+            hand_face=self.use_hand_face, face=face,
+        )
 
     def read_openpose(self, frame):
         return load_openpose_dir(

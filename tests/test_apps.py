@@ -180,3 +180,48 @@ def test_renderpeople_app_end_to_end(tmp_path):
     assert np.isfinite(d["displacement"]).all()
     assert (out_dir / "subjectA" / "texfit" / "smpl.png").exists()
     assert (out_dir / "SMPL" / "subjectA.obj").exists()
+
+
+def test_genebody_native_openpose_wiring(genebody_dataset, tmp_path):
+    """--native_openpose routes run_openpose through the in-repo detector
+    (stubbed nets) and writes cacheable OpenPose JSONs the loader accepts."""
+    root, subject, size = genebody_dataset
+    out_dir = tmp_path / "out_native"
+    from bodyfitting_tpu.apps import genebody
+
+    args = genebody.config_parser().parse_args([
+        "--target_dir", str(root / "genebody"),
+        "--output_dir", str(out_dir),
+        "--subject", subject,
+        "--load_size", str(size),
+        "--tasks", "openpose",
+        "--native_openpose",
+        "--synthetic_num_verts", "64",
+    ])
+    runner = genebody.Runner(args)
+
+    class StubBody:
+        def __call__(self, img):
+            candidate = np.zeros((18, 4))
+            candidate[:, 0] = np.linspace(10, 50, 18)
+            candidate[:, 1] = np.linspace(10, 50, 18)
+            candidate[:, 2] = 0.9
+            candidate[:, 3] = np.arange(18)
+            row = np.concatenate([np.arange(18.0), [15.0, 18.0]])
+            return candidate, row[None]
+
+    runner._native_detectors = (StubBody(), None, None)
+    frame = runner.seqs[0]
+    data = runner.get_data(frame)
+    runner.run_openpose(frame, data)
+
+    op_dir = out_dir / subject / ("%06d" % frame) / "openpose"
+    jsons = sorted(op_dir.glob("*_keypoints.json"))
+    assert len(jsons) == len(data[4])
+    from bodyfitting_tpu.io import load_openpose
+
+    kp = load_openpose(str(jsons[0]))
+    assert kp is not None and kp["pose"].shape == (25, 3)
+    # cache: a second call must not re-run detection (stub would be hit)
+    runner._native_detectors = None
+    runner.run_openpose(frame, data)   # returns via the JSON-count cache
