@@ -339,6 +339,11 @@ def rigid_transform_chain(
     Returns:
       posed_joints ``[J, 3]`` and relative skinning transforms ``[J, 4, 4]``
       (world transform with the rest-pose joint location factored out).
+
+    Deliberately the unrolled J-step form: a level-wise (depth-batched)
+    variant with gather/scatter per tree level measured ~5% slower on the
+    full 150x48 fit (BENCH_NOTES.md negative results) — XLA pipelines the
+    55 tiny matmuls better than it handles the scatters.
     """
     J = len(parents)
     rel = rest_joints - jnp.concatenate(
