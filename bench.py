@@ -75,9 +75,10 @@ def bench_jax(batch_frames: int, n_views: int, iters: int):
     t0 = time.perf_counter()
     import dataclasses
     for r in range(runs):
-        # distinct inputs each run: identical launches can be cached
+        # distinct inputs each run (r+1: r=0 must also differ from the
+        # warmup launch — identical launches can be cache-served)
         obs_r = dataclasses.replace(
-            obs, keypoints=obs.keypoints + np.float32(r)
+            obs, keypoints=obs.keypoints + np.float32(r + 1)
         )
         _, _, losses = fit(obs_r, inits)
         losses.block_until_ready()
@@ -95,114 +96,38 @@ def bench_jax(batch_frames: int, n_views: int, iters: int):
 
 def bench_torch_baseline(n_views: int, iters: int = 6):
     """Reference-style torch loop on the same 48-view workload: batch 1,
-    per-view Python loss loop, full-V LBS fwd+bwd per iteration."""
-    import torch
+    per-view Python loss loop, full-V LBS fwd+bwd per iteration.
 
-    torch.manual_seed(0)
-    V, J, S = 10475, 55, 10
-    v_template = torch.randn(V, 3) * 0.3
-    shapedirs = torch.randn(S, V * 3) * 0.01
-    posedirs = torch.randn((J - 1) * 9, V * 3) * 0.001
-    J_reg = torch.rand(J, V) ** 8
-    J_reg = J_reg / J_reg.sum(1, keepdim=True)
-    W = torch.softmax(torch.randn(V, J) * 2, dim=1)
-    parents = [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14,
-               16, 17, 18, 19] + [15, 15, 15] + \
-        [20, 25, 26, 20, 28, 29, 20, 31, 32, 20, 34, 35, 20, 37, 38] + \
-        [21, 40, 41, 21, 43, 44, 21, 46, 47, 21, 49, 50, 21, 52, 53]
+    Uses the SAME torch re-enactment the parity harness validates
+    (fitting/torch_reference.py, bit-level forward agreement with the JAX
+    model), on the SAME synthetic SMPL-X model as the JAX benchmark — the
+    baseline column and the accuracy proof rest on one implementation.
+    """
+    import time as _time
 
-    means = torch.randn(8, 69) * 0.3
-    precs = torch.stack([torch.eye(69) for _ in range(8)])
-    logw = torch.zeros(8)
+    from bodyfitting_tpu.fitting import torch_reference as tr
+    from bodyfitting_tpu.losses.priors import synthetic_gmm_prior
+    from bodyfitting_tpu.models import body_model as bm
 
-    def rodrigues(aa):
-        angle = aa.norm(dim=-1, keepdim=True).clamp_min(1e-8)
-        axis = aa / angle
-        half = angle * 0.5
-        q = torch.cat([half.cos(), half.sin() * axis], dim=-1)
-        w, x, y, z = q.unbind(-1)
-        return torch.stack([
-            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
-            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
-            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
-        ], dim=-1).reshape(aa.shape[:-1] + (3, 3))
-
-    pose = torch.zeros(J * 3, requires_grad=True)
-    betas = torch.zeros(S, requires_grad=True)
-    transl = torch.zeros(3, requires_grad=True)
-    opt = torch.optim.Adam(
-        [{"params": [transl], "lr": 0.1}, {"params": [pose, betas]}],
-        lr=1e-2,
+    model = bm.synthetic_model("smplx", num_verts=10475, seed=0)
+    md = tr.torch_model_from_jax(model)
+    gmm = synthetic_gmm_prior()
+    gmm_arrays = (
+        np.asarray(gmm.means), np.asarray(gmm.precisions),
+        np.asarray(gmm.log_nll_weights),
     )
+    rng = np.random.default_rng(0)
+    K = np.array([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]], np.float32)
+    w2cs = np.broadcast_to(np.eye(4, dtype=np.float32), (n_views, 4, 4)).copy()
+    w2cs[:, 2, 3] = 3.0
+    Ks = np.broadcast_to(K, (n_views, 3, 3)).copy()
+    kps = rng.uniform(100, 400, size=(n_views, 135, 3)).astype(np.float32)
 
-    Ks = [torch.tensor([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
-          for _ in range(n_views)]
-    w2cs = [torch.eye(4) for _ in range(n_views)]
-    for w2c in w2cs:
-        w2c[2, 3] = 3.0
-    kps = [torch.rand(135, 3) * 400 for _ in range(n_views)]
-
-    def forward():
-        v_shaped = v_template + (betas @ shapedirs).reshape(V, 3)
-        joints_rest = J_reg @ v_shaped
-        R = rodrigues(pose.reshape(J, 3))
-        pf = (R[1:] - torch.eye(3)).reshape(-1)
-        v_posed = v_shaped + (pf @ posedirs).reshape(V, 3)
-        G = [None] * J
-        for j in range(J):
-            T = torch.eye(4)
-            T = T.clone()
-            T[:3, :3] = R[j]
-            if parents[j] == -1:
-                T[:3, 3] = joints_rest[j]
-                G[j] = T
-            else:
-                T[:3, 3] = joints_rest[j] - joints_rest[parents[j]]
-                G[j] = G[parents[j]] @ T
-        A = torch.stack([
-            torch.cat([
-                g[:3, :3],
-                (g[:3, 3] - g[:3, :3] @ joints_rest[j])[:, None]
-            ], dim=1)
-            for j, g in enumerate(G)
-        ])
-        T = torch.einsum("vj,jpq->vpq", W, A.reshape(J, 12).reshape(J, 3, 4))
-        verts = torch.einsum("vpq,vq->vp", T[:, :, :3], v_posed) + T[:, :, 3]
-        joints = torch.stack([g[:3, 3] for g in G])
-        return verts, joints
-
-    def loss_fn():
-        verts, joints = forward()
-        joints135 = verts[:135] + transl    # stand-in joint head, same cost
-        total = 0.0
-        for i in range(n_views):            # the reference's per-view loop
-            R, t = w2cs[i][:3, :3], w2cs[i][:3, 3]
-            cam = joints135 @ R.T + t
-            proj = cam @ Ks[i].T
-            uv = proj[:, :2] / proj[:, 2:3]
-            d = (kps[i][:, :2] - uv) / 0.5
-            g = (100.0 ** 2 * d * d) / (100.0 ** 2 + d * d)
-            total = total + (kps[i][:, 2] ** 2 * g.sum(-1)).sum()
-        diff = pose[3:72][None] - means
-        quad = 0.5 * torch.einsum(
-            "kj,kij,ki->k", diff, precs, diff
-        ) - logw
-        total = total + (4.78 ** 2) * quad.min()
-        total = total + (5.0 ** 2) * (betas ** 2).sum()
-        return total
-
-    # warmup
-    loss = loss_fn()
-    loss.backward()
-    opt.step()
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        opt.zero_grad()
-        loss = loss_fn()
-        loss.backward()
-        opt.step()
-    dt = time.perf_counter() - t0
+    # warmup (BLAS init etc.)
+    tr.smplify_fit(md, w2cs, Ks, kps, gmm_arrays, num_iters=1)
+    t0 = _time.perf_counter()
+    tr.smplify_fit(md, w2cs, Ks, kps, gmm_arrays, num_iters=iters)
+    dt = _time.perf_counter() - t0
     rate = iters / dt
     print(
         f"torch baseline ({n_views} views): {rate:.2f} it/s/frame (batch 1) "
@@ -222,7 +147,10 @@ def main():
     value, seq_wall = bench_jax(N_FRAMES, N_VIEWS, NUM_ITERS)
     baseline = baseline_iters / NUM_ITERS                # frame fits/s
     print(json.dumps({
-        "metric": "genebody_150x48_smplx_600iter_frame_fits_per_sec_per_chip",
+        "metric": (
+            f"genebody_{N_FRAMES}x{N_VIEWS}_smplx_{NUM_ITERS}iter_"
+            "frame_fits_per_sec_per_chip"
+        ),
         "value": round(value, 3),
         "unit": (
             f"frame fits/s/chip ({N_FRAMES} frames x {N_VIEWS} views, "

@@ -212,9 +212,11 @@ def main():
         "body_stage_mean_dev_frac_height": float(body_dv.mean() / height),
         "surface_residual_sdf_frac_height": resid_sdf / height,
         "surface_residual_exact_frac_height": resid_exact / height,
-        "wall_sdf_s": round(wall_sdf, 1),
+        "wall_sdf_fit_s": round(wall_sdf, 1),
+        "wall_sdf_total_s": round(wall_sdf + t_build, 1),
         "wall_exact_s": round(wall_exact, 1),
-        "speedup": round(wall_exact / wall_sdf, 1),
+        "speedup_incl_build": round(wall_exact / (wall_sdf + t_build), 1),
+        "speedup_fit_only": round(wall_exact / wall_sdf, 1),
         "volume_build_s": round(t_build, 2),
     }
     print(json.dumps(report, indent=2))
@@ -243,10 +245,13 @@ def main():
             f"ICP slides along the surface, so field distance "
             f"overstates the disagreement; the residual above is the "
             f"meaningful stage-2 metric)",
-            f"- wall: {report['wall_sdf_s']}s (sdf, incl. "
-            f"{report['volume_build_s']}s volume build) vs "
-            f"{report['wall_exact_s']}s (exact) -> "
-            f"**{report['speedup']}x**",
+            f"- wall: {report['wall_sdf_total_s']}s sdf "
+            f"({report['volume_build_s']}s one-time volume build + "
+            f"{report['wall_sdf_fit_s']}s fit) vs "
+            f"{report['wall_exact_s']}s exact -> "
+            f"**{report['speedup_incl_build']}x** end-to-end, "
+            f"{report['speedup_fit_only']}x fit-only (the build amortizes "
+            f"across a sequence's frames)",
             "",
         ]
         with open(path) as f:

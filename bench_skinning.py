@@ -3,6 +3,12 @@
 Measures the full-vertex forward+backward skinning step at fit scale
 (SMPL-X 10475 verts, batch 128) — the path mask/mesh fits take per
 iteration (keypoint-only fits use the joints-only reduction instead).
+
+Timing methodology: the remote-TPU per-launch dispatch latency is on the
+order of the kernel times themselves, so each variant runs ``runs``
+iterations inside ONE jitted ``lax.scan`` whose per-step inputs differ
+(a step-indexed perturbation), and the wall time of that single launch is
+divided by ``runs``.  No launch caching, no dispatch pollution.
 """
 
 import sys
@@ -15,13 +21,23 @@ import numpy as np
 from bodyfitting_tpu.ops.pallas_kernels import make_fused_skinning, skinning_xla
 
 
-def bench(fn, *args, runs=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timed_scan(step_fn, A, vp, runs=50):
+    """Run ``step_fn(A + r*1e-6, vp) -> scalar`` for r=1..runs in one scan."""
+
+    def body(carry, r):
+        return carry + step_fn(A + r * 1e-6, vp), None
+
+    f = jax.jit(
+        lambda a, v: jax.lax.scan(
+            lambda c, r: (c + step_fn(a + r * 1e-6, v), None),
+            jnp.zeros(()), jnp.arange(1.0, runs + 1.0),
+        )[0]
+    )
+    out = f(A, vp)
+    out.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(runs):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    out = f(A, vp)
+    out.block_until_ready()
     return (time.perf_counter() - t0) / runs
 
 
@@ -34,26 +50,26 @@ def main(V=10475, J=55, B=128):
 
     skin = make_fused_skinning(W)
 
-    def loss_fused(a, v):
+    def fwd_fused(a, v):
         return jax.vmap(skin)(a, v).sum()
 
-    def loss_xla(a, v):
+    def fwd_xla(a, v):
         return jax.vmap(lambda x, y: skinning_xla(W, x, y))(a, v).sum()
 
-    # distinct inputs per run (TPU caches identical launches)
-    fused_g = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))
-    xla_g = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))
-    fused_f = jax.jit(jax.vmap(skin))
-    xla_f = jax.jit(jax.vmap(lambda x, y: skinning_xla(W, x, y)))
+    def bwd_fused(a, v):
+        g = jax.grad(fwd_fused, argnums=(0, 1))(a, v)
+        return g[0].sum() + g[1].sum()
 
-    for name, fn in [("fwd xla", xla_f), ("fwd fused", fused_f),
-                     ("fwd+bwd xla", xla_g), ("fwd+bwd fused", fused_g)]:
-        dt = bench(fn, A, vp)
-        print(f"{name:>14}: {dt*1e3:8.3f} ms  "
-              f"({B*V*3*4*2/dt/1e9:6.1f} GB/s io-bound-equiv)",
-              file=sys.stderr)
-    # numerical check on chip
-    d = jnp.abs(fused_f(A, vp) - xla_f(A, vp)).max()
+    def bwd_xla(a, v):
+        g = jax.grad(fwd_xla, argnums=(0, 1))(a, v)
+        return g[0].sum() + g[1].sum()
+
+    for name, fn in [("fwd xla", fwd_xla), ("fwd fused", fwd_fused),
+                     ("fwd+bwd xla", bwd_xla), ("fwd+bwd fused", bwd_fused)]:
+        dt = timed_scan(fn, A, vp)
+        print(f"{name:>14}: {dt*1e3:8.3f} ms/iter", file=sys.stderr)
+    d = jnp.abs(jax.vmap(skin)(A, vp)
+                - jax.vmap(lambda x, y: skinning_xla(W, x, y))(A, vp)).max()
     print(f"max abs diff fused vs xla on-chip: {float(d):.2e}",
           file=sys.stderr)
 

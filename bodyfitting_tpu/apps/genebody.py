@@ -225,9 +225,23 @@ class Runner:
             ckpt = self.args.openpose_ckpt_dir
 
             def path(name):
-                p = os.path.join(ckpt, name) if ckpt else None
-                return p if p and os.path.exists(p) else None
+                if ckpt is None:
+                    return None
+                p = os.path.join(ckpt, name)
+                if not os.path.exists(p):
+                    # a typo'd dir silently detecting with random weights
+                    # would poison the JSON cache for every later run
+                    raise FileNotFoundError(
+                        f"--openpose_ckpt_dir given but {p} is missing"
+                    )
+                return p
 
+            if ckpt is None:
+                print(
+                    "WARNING: --native_openpose without --openpose_ckpt_dir "
+                    "runs randomly-initialized detectors (tests only)",
+                    file=sys.stderr,
+                )
             body = BodyDetector(path("body_pose_model.pth"))
             hand = face = None
             if self.use_hand_face:

@@ -42,6 +42,9 @@ def config_parser():
     p.add_argument("--smpl_type", default="smpl", type=str)
     p.add_argument("--age", default="adult", type=str)
     p.add_argument("--num_iters", default=600, type=int)
+    p.add_argument("--contour_resample", default=512, type=int,
+                   help="arc-length resample mask contours to this many "
+                        "points (0 = keep every contour pixel)")
     p.add_argument("--smpl_uv_dir", type=str, default="./data/smpl_uv",
                    help="folder containing smpl_uv.obj / smplx_uv.obj")
     p.add_argument("--tex_iters", default=200, type=int)
@@ -169,6 +172,7 @@ class Runner:
             mask_c2ws=c2ws if self.args.use_mask else None,
             mask_Ks=Ks if self.args.use_mask else None,
             scan_verts=scan.verts, scan_faces=scan.faces,
+            contour_resample=self.args.contour_resample or None,
         )
         betas, poses = bf.hmr_init(
             images[0] if self.hmr else None, c2ws[0], self.hmr

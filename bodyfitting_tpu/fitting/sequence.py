@@ -78,9 +78,18 @@ def fit_sequence(
     tx = smplify._make_optimizer(config, init_batched)
     opt_state = tx.init(init_batched)
 
+    loss_model = model
+    if config.reduce_joints_only and not (config.use_mask or config.use_mesh):
+        try:
+            # joints-only reduction, as in smplify.fit (host-side; needs
+            # concrete model arrays — the normal closed-over case)
+            loss_model = bm.reduce_for_joints(model)
+        except jax.errors.TracerArrayConversionError:
+            loss_model = model
+
     per_frame_loss = jax.vmap(
         lambda p, o, step: smplify.fit_loss(
-            model, config, p, o, step, pose_prior_fn
+            loss_model, config, p, o, step, pose_prior_fn
         )[0],
         in_axes=(0, 0, None),
     )

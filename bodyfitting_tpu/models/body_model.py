@@ -435,12 +435,12 @@ def _face_landmarks(
 
 
 # Fused-skinning switch.  "on" forces the Pallas kernel (parity-exact with
-# the XLA path; tests run it in interpret mode).  Measured on a v5e
-# (bench_skinning.py): the XLA matmul+einsum is MXU-pad-bound at ~1.7 ms
-# fwd+bwd (B=128, V=10475) and the v1 kernel's [TV, 3] trailing-dim blocks
-# are DMA-bound at ~12.5 ms, so "auto" currently resolves to the XLA path —
-# the joints-only reduction (reduce_for_joints) removed this op from the
-# keypoint hot loop entirely, which superseded the fusion lever.
+# the XLA path; tests run it in interpret mode).  Measured on a v5e with
+# scan-based in-program timing (bench_skinning.py): the XLA matmul+einsum
+# runs ~0.66 ms fwd+bwd (B=128, V=10475) while the v1 kernel's [TV, 3]
+# trailing-dim blocks are DMA-bound at ~13 ms, so "auto" resolves to the
+# XLA path — the joints-only reduction (reduce_for_joints) removed this op
+# from the keypoint hot loop entirely, which superseded the fusion lever.
 FUSED_SKINNING = "auto"
 
 
@@ -834,9 +834,15 @@ def reduce_for_joints(model: BodyModel) -> BodyModel:
             None if model.lmk_faces_idx is None
             else remap_faces(model.lmk_faces_idx)
         ),
+        # With the contour off, the dynamic faces are not in `fids`, so a
+        # remap would produce garbage indices; drop the tables instead.
         dyn_lmk_faces_idx=(
-            None if model.dyn_lmk_faces_idx is None
-            else remap_faces(model.dyn_lmk_faces_idx)
+            remap_faces(model.dyn_lmk_faces_idx)
+            if model.dyn_lmk_faces_idx is not None and model.use_face_contour
+            else None
+        ),
+        dyn_lmk_bary_coords=(
+            model.dyn_lmk_bary_coords if model.use_face_contour else None
         ),
         selector_ids=(
             None if model.selector_ids is None

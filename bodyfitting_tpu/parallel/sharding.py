@@ -105,11 +105,14 @@ def fit_sequence_sharded(
     return fit_batched(obs, init)
 
 
-def training_step(model, config, pose_prior_fn):
+def training_step(model, config, pose_prior_fn, step_idx: int = 0):
     """One Adam step of the batched fit — the unit the dryrun compiles.
 
     Returns ``step_fn(params, opt_state, obs) -> (params, opt_state, loss)``
-    vmapped over a leading frame axis.
+    vmapped over a leading frame axis.  ``step_idx`` is the fit-iteration
+    index the loss is evaluated at — pass a value past the stage gate
+    (``config.num_iters // config.stage_gate_den``) to exercise the
+    mask/mesh branches.
     """
     import optax
 
@@ -120,7 +123,8 @@ def training_step(model, config, pose_prior_fn):
     def one(params, opt_state, obs):
         (loss, _), grads = jax.value_and_grad(
             lambda p: smplify.fit_loss(
-                model, config, p, obs, jax.numpy.asarray(0), pose_prior_fn
+                model, config, p, obs,
+                jax.numpy.asarray(step_idx, jax.numpy.int32), pose_prior_fn
             ),
             has_aux=True,
         )(params)

@@ -224,3 +224,28 @@ def test_mask_fit_parity_full_vs_resampled_contours(smpl_model, rng):
         results["full"][:, 1].max() - results["full"][:, 1].min()
     )
     assert dv.mean() < 0.02 * body_size, (dv.mean(), body_size)
+
+
+def test_expression_frozen_by_default_and_optimizable(rng):
+    """Reference parity: expressions are never optimized (smplify.py has no
+    expression tensor in opt_params); optimize_expression=True is the
+    documented opt-in upgrade and must actually move them."""
+    model = bm.synthetic_model("smplx", num_verts=200, seed=12)
+    _, obs = _gt_setup_x(model, rng)
+    init = smplify.FitParams.init(model)
+    zero_prior = lambda p: jnp.zeros(p.shape[:-1], p.dtype)  # noqa: E731
+
+    cfg_off = smplify.FitConfig(num_iters=20, imsize=256.0)
+    params_off, _, _ = jax.jit(
+        lambda o, i: smplify.fit(model, cfg_off, o, i, zero_prior)
+    )(obs, init)
+    np.testing.assert_allclose(np.asarray(params_off.body.expression), 0.0)
+
+    cfg_on = smplify.FitConfig(
+        num_iters=20, imsize=256.0, optimize_expression=True
+    )
+    params_on, _, losses = jax.jit(
+        lambda o, i: smplify.fit(model, cfg_on, o, i, zero_prior)
+    )(obs, init)
+    assert np.abs(np.asarray(params_on.body.expression)).max() > 0
+    assert np.isfinite(np.asarray(losses)).all()
