@@ -204,16 +204,25 @@ def fit_loss(
     obs: Observations,
     step: jax.Array,
     pose_prior_fn,
+    joints_model: Optional[bm.BodyModel] = None,
 ):
-    """Total staged loss at a given iteration (one frame)."""
-    fwd = (
-        jax.checkpoint(lambda p: bm.forward(model, p))
-        if config.remat_forward else (lambda p: bm.forward(model, p))
-    )
-    out = fwd(params.body)
+    """Total staged loss at a given iteration (one frame).
+
+    ``joints_model`` (optional, a :func:`bm.reduce_for_joints` of
+    ``model``) serves the keypoint term; the full-vertex forward then runs
+    only inside the gated mask/mesh branch, so the first
+    ``num_iters // stage_gate_den`` iterations of mask/mesh fits are
+    vertex-free too.
+    """
+    jm = joints_model if joints_model is not None else model
+
+    def fwd_of(m):
+        f = lambda p: bm.forward(m, p)  # noqa: E731
+        return jax.checkpoint(f) if config.remat_forward else f
+
+    out = fwd_of(jm)(params.body)
     scale = params.body_scale * obs.constant_scale
     model_joints = (out.joints + params.global_transl) * scale
-    body_vertices = (out.vertices + params.global_transl) * scale
 
     use_hand_face = model.model_type == "smplx"
     pose69 = _body_pose69(model, params.body.body_pose)
@@ -232,37 +241,52 @@ def fit_loss(
     gate = config.num_iters // config.stage_gate_den
     late = step > gate
 
-    if config.use_mask:
-        def mask_term(_):
-            return silhouette_loss(
-                obs.contours, obs.contour_valid, obs.masks, obs.mask_w2cs,
-                obs.mask_Ks, body_vertices, imsize=config.imsize,
-            )
-        mask_l = jax.lax.cond(
-            late, mask_term, lambda _: jnp.zeros(()), None
-        )
-        total = total + config.mask_weight * mask_l
-        terms["mask_loss"] = mask_l
+    if config.use_mask or config.use_mesh:
+        if joints_model is None:
+            # same forward serves both terms (single-model callers)
+            body_vertices = (out.vertices + params.global_transl) * scale
+            get_vertices = lambda: body_vertices  # noqa: E731
+        else:
+            def get_vertices():
+                full = fwd_of(model)(params.body)
+                return (full.vertices + params.global_transl) * scale
 
-    if config.use_mesh:
         use_sdf = (
             config.mesh_loss_impl == "sdf" and obs.scan_volume is not None
         )
 
-        def pc_term(_):
-            if use_sdf:
-                from bodyfitting_tpu.ops.sdf import point_cloud_loss_sdf
-
-                pc = point_cloud_loss_sdf(body_vertices, obs.scan_volume)
-            else:
-                pc = point_cloud_loss(
-                    body_vertices, obs.scan_verts, obs.scan_faces
+        def late_terms(_):
+            verts = get_vertices()
+            mask_l = jnp.zeros(())
+            pc_l = jnp.zeros(())
+            if config.use_mask:
+                mask_l = silhouette_loss(
+                    obs.contours, obs.contour_valid, obs.masks,
+                    obs.mask_w2cs, obs.mask_Ks, verts, imsize=config.imsize,
                 )
-            # reference: / scan_height * imsize (smplify.py:206)
-            return pc / obs.scan_height * config.imsize
-        pc_l = jax.lax.cond(late, pc_term, lambda _: jnp.zeros(()), None)
-        total = total + config.pc_weight * pc_l
-        terms["pc_loss"] = pc_l
+            if config.use_mesh:
+                if use_sdf:
+                    from bodyfitting_tpu.ops.sdf import point_cloud_loss_sdf
+
+                    pc = point_cloud_loss_sdf(verts, obs.scan_volume)
+                else:
+                    pc = point_cloud_loss(
+                        verts, obs.scan_verts, obs.scan_faces
+                    )
+                # reference: / scan_height * imsize (smplify.py:206)
+                pc_l = pc / obs.scan_height * config.imsize
+            return mask_l, pc_l
+
+        mask_l, pc_l = jax.lax.cond(
+            late, late_terms,
+            lambda _: (jnp.zeros(()), jnp.zeros(())), None,
+        )
+        if config.use_mask:
+            total = total + config.mask_weight * mask_l
+            terms["mask_loss"] = mask_l
+        if config.use_mesh:
+            total = total + config.pc_weight * pc_l
+            terms["pc_loss"] = pc_l
 
     return total, terms
 
@@ -290,19 +314,27 @@ def fit(
     opt_state = tx.init(init)
 
     loss_model = model
-    if config.reduce_joints_only and not (config.use_mask or config.use_mesh):
+    joints_model = None
+    if config.reduce_joints_only:
         try:
             # Static host-side reduction; requires concrete model arrays
             # (the normal case: the model is closed over, not a jit arg).
-            loss_model = bm.reduce_for_joints(model)
+            reduced = bm.reduce_for_joints(model)
+            if config.use_mask or config.use_mesh:
+                # keypoint term on the reduced model; the full-vertex
+                # forward runs only inside the gated mask/mesh branch
+                joints_model = reduced
+            else:
+                loss_model = reduced
         except jax.errors.TracerArrayConversionError:
-            loss_model = model
+            pass
 
     def step_fn(carry, step):
         params, opt_state = carry
         (loss, terms), grads = jax.value_and_grad(
             lambda p: fit_loss(
-                loss_model, config, p, obs, step, pose_prior_fn
+                loss_model, config, p, obs, step, pose_prior_fn,
+                joints_model=joints_model,
             ),
             has_aux=True,
         )(params)
