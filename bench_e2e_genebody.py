@@ -129,6 +129,12 @@ def main():
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
+    from bodyfitting_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     import tempfile
 
     work = tempfile.mkdtemp(prefix="genebody_e2e_")

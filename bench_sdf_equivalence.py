@@ -166,6 +166,12 @@ def main():
     ap.add_argument("--update-notes", action="store_true")
     args = ap.parse_args()
 
+    from bodyfitting_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()   # the 96^3 volume build is compile-bound
+
     scan_verts, scan_faces = build_scan()
     print(f"scan: {scan_verts.shape[0]} verts, {scan_faces.shape[0]} faces",
           file=sys.stderr)

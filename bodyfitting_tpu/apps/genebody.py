@@ -156,6 +156,15 @@ class Runner:
         size = self.args.load_size
         img_dir = os.path.join(self.output_dir, "%06d" % frame, "images")
         os.makedirs(img_dir, exist_ok=True)
+        # crop PNGs exist only to feed the OpenPose binary; when this
+        # frame's keypoint JSONs are already cached (run_openpose's own
+        # skip condition), encoding ~48 PNGs per frame is pure waste
+        op_dir = os.path.join(self.output_dir, "%06d" % frame, "openpose")
+        jsons_cached = (
+            os.path.isdir(op_dir)
+            and len([f for f in os.listdir(op_dir) if f.endswith(".json")])
+            >= len(self.views)
+        )
         imgnames = sorted(
             os.listdir(os.path.join(self.target_dir, "image", "00"))
         )
@@ -164,10 +173,10 @@ class Runner:
         )
         frame_idx = self.seqs.index(frame)
 
-        Ks, c2ws, use_frames, mask_frames, images, masks = (
-            [], [], [], [], [], []
-        )
-        for i, view in enumerate(self.views):
+        def load_view(i, view):
+            """Read + crop one view (IO/decode-bound; runs threaded —
+            the reference reads its 48 views serially,
+            genebody_fitting.py:111-142)."""
             img = imageio.imread(os.path.join(
                 self.target_dir, "image", "%02d" % view, imgnames[frame_idx]
             ))
@@ -180,15 +189,41 @@ class Runner:
             img = apply_mask(img, msk)
             img = crop_and_resize(img, bbox, size)
             if np.mean(img) <= 10:      # black frame -> view unusable
+                return None
+            if not jsons_cached:
+                imageio.imwrite(
+                    os.path.join(img_dir, "%02d.png" % view), img
+                )
+            crop_msk = (
+                crop_and_resize(msk, bbox, size, nearest=True)
+                if view in self.mask_frames and self.args.use_mask else None
+            )
+            return (
+                img, crop_msk, adjust_K_for_crop(self.Ks_all[i], bbox, size),
+                self.RTs_all[i].astype(np.float32),
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(self.views))) as ex:
+            loaded = list(ex.map(
+                load_view, range(len(self.views)), self.views
+            ))
+
+        Ks, c2ws, use_frames, mask_frames, images, masks = (
+            [], [], [], [], [], []
+        )
+        for view, item in zip(self.views, loaded):
+            if item is None:
                 continue
+            img, crop_msk, K, c2w = item
             use_frames.append(view)
-            imageio.imwrite(os.path.join(img_dir, "%02d.png" % view), img)
             images.append(img)
-            if view in self.mask_frames and self.args.use_mask:
-                masks.append(crop_and_resize(msk, bbox, size, nearest=True))
+            if crop_msk is not None:
+                masks.append(crop_msk)
                 mask_frames.append(view)
-            Ks.append(adjust_K_for_crop(self.Ks_all[i], bbox, size))
-            c2ws.append(self.RTs_all[i].astype(np.float32))
+            Ks.append(K)
+            c2ws.append(c2w)
         return images, masks, Ks, c2ws, use_frames, mask_frames
 
     # ----- openpose subprocess (kept as the reference's boundary) ---------
