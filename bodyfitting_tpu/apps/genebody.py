@@ -68,6 +68,10 @@ def config_parser():
                         "points (0 = keep every contour pixel)")
     p.add_argument("--batch_frames", default=8, type=int,
                    help="frames fitted concurrently in one jit")
+    p.add_argument("--prep_workers", default=2, type=int,
+                   help="host threads preparing upcoming frames (IO/crop/"
+                        "contours) while the chip fits the current batch; "
+                        "0 = fully serial (the reference's structure)")
     p.add_argument("--model_path", type=str, default=None,
                    help="SMPL pkl / SMPL-X npz asset; synthetic when absent")
     p.add_argument("--gmm_path", type=str, default=None,
@@ -134,6 +138,9 @@ class Runner:
         )
         self.seqs = self._sequence()
         self._smpl_stage_model = None
+        import threading
+
+        self._detector_lock = threading.Lock()
 
     def _gender(self):
         if self.args.info_dir and os.path.exists(self.args.info_dir):
@@ -256,6 +263,19 @@ class Runner:
             BodyDetector, FaceDetector, HandDetector, detect_to_json,
         )
 
+        with self._detector_lock:
+            self._init_native_detectors()
+        body, hand, face = self._native_detectors
+        detect_to_json(
+            img_dir, wrt_dir, body, hand=hand,
+            hand_face=self.use_hand_face, face=face,
+        )
+
+    def _init_native_detectors(self):
+        from bodyfitting_tpu.models.openpose_infer import (
+            BodyDetector, FaceDetector, HandDetector,
+        )
+
         if self._native_detectors is None:
             ckpt = self.args.openpose_ckpt_dir
 
@@ -283,11 +303,6 @@ class Runner:
                 hand = HandDetector(path("hand_pose_model.pth"))
                 face = FaceDetector(path("face_pose_model.pth"))
             self._native_detectors = (body, hand, face)
-        body, hand, face = self._native_detectors
-        detect_to_json(
-            img_dir, wrt_dir, body, hand=hand,
-            hand_face=self.use_hand_face, face=face,
-        )
 
     def read_openpose(self, frame):
         return load_openpose_dir(
@@ -360,7 +375,10 @@ class Runner:
             for i in range(len(obs_list))
         ]
 
-    def fit_batch(self, frames, inputs):
+    def dispatch_fit(self, frames, inputs):
+        """Dispatch one batched fit; returns device arrays WITHOUT blocking
+        (XLA executes asynchronously, so the host can prepare the next
+        batch while this one runs on-chip)."""
         config = smplify.FitConfig(
             num_iters=self.args.num_iters,
             use_mask=self.args.use_mask and any(
@@ -375,15 +393,21 @@ class Runner:
         _, results, losses = bf.fit_frames_batched(
             self.model, config, obs_list, init_list, self.prior
         )
+        return results, losses
+
+    def write_batch(self, frames, results, losses):
+        """Blocking device->host fetch + file outputs (runs on the writer
+        thread in the pipelined run loop)."""
         # Loss curves on by default (the reference has none, SURVEY §5);
         # one JSONL record per fitted frame.
         from bodyfitting_tpu.utils.observability import LossTrace
 
         trace = LossTrace(os.path.join(self.output_dir, "loss_trace.jsonl"))
         losses_np = np.asarray(losses)
+        results = {k: np.asarray(v) for k, v in results.items()}
         for bi, frame in enumerate(frames):
             trace.record(int(frame), losses_np[bi])
-            result = {k: np.asarray(v[bi]) for k, v in results.items()}
+            result = {k: v[bi] for k, v in results.items()}
             out_dir = os.path.join(
                 self.output_dir, "%06d" % frame, "smplify"
             )
@@ -391,6 +415,10 @@ class Runner:
                 out_dir, self.args.smpl_type, self.model, result,
                 debug=False,
             )
+
+    def fit_batch(self, frames, inputs):
+        results, losses = self.dispatch_fit(frames, inputs)
+        self.write_batch(frames, results, losses)
 
     def run_output(self, frame):
         import shutil
@@ -410,23 +438,23 @@ class Runner:
             os.path.join(param_folder, "%04d.npy" % frame),
         )
 
+    def _prepare_frame(self, frame):
+        """Host-side prep for one frame: image IO/crop, keypoint detection,
+        observation assembly.  Pure host work (plus tiny HMR-init device
+        calls) — safe to run on prep threads while the chip fits."""
+        data = self.get_data(frame)
+        if "openpose" in self.args.tasks:
+            self.run_openpose(frame, data)
+        if "smplify" not in self.args.tasks:
+            return None
+        keypoints = self.read_openpose(frame)
+        return self.build_frame_inputs(frame, data, keypoints)
+
     def run(self):
-        pending_frames, pending_inputs = [], []
-        for frame in self.seqs:
-            data = self.get_data(frame)
-            if "openpose" in self.args.tasks:
-                self.run_openpose(frame, data)
-            keypoints = self.read_openpose(frame)
-            if "smplify" in self.args.tasks:
-                pending_frames.append(frame)
-                pending_inputs.append(
-                    self.build_frame_inputs(frame, data, keypoints)
-                )
-                if len(pending_frames) == self.args.batch_frames:
-                    self.fit_batch(pending_frames, pending_inputs)
-                    pending_frames, pending_inputs = [], []
-        if pending_frames:
-            self.fit_batch(pending_frames, pending_inputs)
+        if self.args.prep_workers <= 0:
+            self._run_serial()
+        else:
+            self._run_pipelined()
         if "output" in self.args.tasks:
             for frame in self.seqs:
                 if os.path.exists(os.path.join(
@@ -434,6 +462,78 @@ class Runner:
                     f"{self.args.smpl_type}.obj",
                 )):
                     self.run_output(frame)
+
+    def _run_serial(self):
+        """The reference's structure: prep -> fit -> write, one batch at a
+        time (genebody_fitting.py:183-192, but batched)."""
+        pending_frames, pending_inputs = [], []
+        for frame in self.seqs:
+            inputs = self._prepare_frame(frame)
+            if inputs is None:
+                continue
+            pending_frames.append(frame)
+            pending_inputs.append(inputs)
+            if len(pending_frames) == self.args.batch_frames:
+                self.fit_batch(pending_frames, pending_inputs)
+                pending_frames, pending_inputs = [], []
+        if pending_frames:
+            self.fit_batch(pending_frames, pending_inputs)
+
+    def _run_pipelined(self):
+        """Three-stage software pipeline: prep threads read/crop upcoming
+        frames while the chip fits the current batch (async XLA dispatch)
+        and a writer thread drains finished batches to disk.  Identical
+        outputs to ``_run_serial`` — frames enter batches in sequence
+        order and the writer is a single ordered worker."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        lookahead = max(2 * self.args.batch_frames, self.args.prep_workers)
+        write_futs = []
+        with ThreadPoolExecutor(self.args.prep_workers) as prep, \
+                ThreadPoolExecutor(1) as writer:
+            seq_iter = iter(self.seqs)
+            futq = deque()
+
+            def submit_next():
+                frame = next(seq_iter, None)
+                if frame is not None:
+                    futq.append(
+                        (frame, prep.submit(self._prepare_frame, frame))
+                    )
+
+            for _ in range(lookahead):
+                submit_next()
+            pending_frames, pending_inputs = [], []
+            while futq:
+                frame, fut = futq.popleft()
+                inputs = fut.result()
+                submit_next()
+                if inputs is None:
+                    continue
+                pending_frames.append(frame)
+                pending_inputs.append(inputs)
+                if len(pending_frames) == self.args.batch_frames:
+                    results, losses = self.dispatch_fit(
+                        pending_frames, pending_inputs
+                    )
+                    # bound in-flight device batches to 2 (the running one
+                    # + one queued) so results don't pile up in HBM
+                    while len(write_futs) > 1:
+                        write_futs.pop(0).result()
+                    write_futs.append(writer.submit(
+                        self.write_batch, pending_frames, results, losses
+                    ))
+                    pending_frames, pending_inputs = [], []
+            if pending_frames:
+                results, losses = self.dispatch_fit(
+                    pending_frames, pending_inputs
+                )
+                write_futs.append(writer.submit(
+                    self.write_batch, pending_frames, results, losses
+                ))
+            for f in write_futs:
+                f.result()
 
 
 def main(argv=None):

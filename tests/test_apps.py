@@ -111,6 +111,75 @@ def test_genebody_app_end_to_end(genebody_dataset, tmp_path):
         assert np.isfinite(d["vertices"]).all()
 
 
+def test_genebody_pipelined_matches_serial(genebody_dataset, tmp_path):
+    """The 3-stage pipelined run loop (prep threads + async dispatch +
+    writer thread) must produce bitwise-identical outputs to the serial
+    reference-structured loop (--prep_workers 0)."""
+    import shutil
+
+    root, subject, size = genebody_dataset
+    from bodyfitting_tpu.apps import genebody
+
+    outs = {}
+    for mode, workers in (("serial", 0), ("pipelined", 2)):
+        out_dir = tmp_path / f"out_{mode}"
+        args = genebody.config_parser().parse_args([
+            "--target_dir", str(root / "genebody"),
+            "--output_dir", str(out_dir),
+            "--subject", subject,
+            "--load_size", str(size),
+            "--tasks", "openpose", "smplify", "output",
+            "--num_iters", "6",
+            "--batch_frames", "1",
+            "--prep_workers", str(workers),
+            "--synthetic_num_verts", "64",
+        ])
+        runner = genebody.Runner(args)
+        if mode == "serial":
+            rng = np.random.default_rng(7)
+            for frame in runner.seqs:
+                data = runner.get_data(frame)
+                op_dir = out_dir / subject / ("%06d" % frame) / "openpose"
+                op_dir.mkdir(parents=True, exist_ok=True)
+                for view in data[4]:
+                    _write_openpose_json(
+                        str(op_dir / ("%02d_keypoints.json" % view)),
+                        rng, size,
+                    )
+            json_src = out_dir
+        else:
+            # identical keypoint JSONs for the second run
+            for frame in runner.seqs:
+                src = json_src / subject / ("%06d" % frame) / "openpose"
+                dst = out_dir / subject / ("%06d" % frame) / "openpose"
+                shutil.copytree(str(src), str(dst))
+        runner.run()
+        outs[mode] = out_dir
+
+    for frame in (0, 1):
+        a = np.load(
+            str(outs["serial"] / subject / "param" / ("%04d.npy" % frame)),
+            allow_pickle=True,
+        ).item()
+        b = np.load(
+            str(outs["pipelined"] / subject / "param" /
+                ("%04d.npy" % frame)),
+            allow_pickle=True,
+        ).item()
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+            )
+    # loss traces cover every frame in both modes
+    for mode in outs:
+        trace = outs[mode] / subject / "loss_trace.jsonl"
+        frames = sorted(
+            json.loads(line)["frame"] for line in open(str(trace))
+        )
+        assert frames == [0, 1]
+
+
 def test_renderpeople_app_end_to_end(tmp_path):
     """Tiny textured 'scan' -> render views -> smplify+smpld -> texfit."""
     import imageio.v2 as imageio
