@@ -47,6 +47,10 @@ def config_parser():
                         "points (0 = keep every contour pixel)")
     p.add_argument("--smpl_uv_dir", type=str, default="./data/smpl_uv",
                    help="folder containing smpl_uv.obj / smplx_uv.obj")
+    p.add_argument("--auto_uv", default=False, action="store_true",
+                   help="generate a per-face chart atlas when the UV "
+                        "template is absent (utils/uv_unwrap.py) instead "
+                        "of skipping texture fitting")
     p.add_argument("--tex_iters", default=200, type=int)
     p.add_argument("--model_path", type=str, default=None)
     p.add_argument("--gmm_path", type=str, default=None)
@@ -210,12 +214,20 @@ class Runner:
         uv_path = os.path.join(
             self.args.smpl_uv_dir, f"{self.args.smpl_type}_uv.obj"
         )
-        if not os.path.exists(uv_path):
-            print(f"WARNING: no UV template at {uv_path}; skipping texfit",
-                  file=sys.stderr)
+        if os.path.exists(uv_path):
+            uv_mesh = load_obj(uv_path)
+            uvs, face_uvs = uv_mesh.uvs, uv_mesh.face_uvs
+        elif self.args.auto_uv:
+            from bodyfitting_tpu.utils.uv_unwrap import per_face_atlas
+
+            print(f"no UV template at {uv_path}; generating a per-face "
+                  "chart atlas (--auto_uv)", file=sys.stderr)
+            uvs, face_uvs = per_face_atlas(len(np.asarray(self.model.faces)))
+        else:
+            print(f"WARNING: no UV template at {uv_path}; skipping texfit "
+                  "(pass --auto_uv to generate one)", file=sys.stderr)
             return
-        uv_mesh = load_obj(uv_path)
-        smpl_face_uvs = uv_mesh.uvs[uv_mesh.face_uvs]
+        smpl_face_uvs = uvs[face_uvs]
         verts = result["vertices"] + result.get(
             "displacement", np.zeros_like(result["vertices"])
         )
@@ -253,8 +265,8 @@ class Runner:
 
         save_obj_uv(
             os.path.join(out_dir, f"{self.args.smpl_type}+d_textured.obj"),
-            verts, np.asarray(self.model.faces), uv_mesh.uvs,
-            uv_mesh.face_uvs, texture=img,
+            verts, np.asarray(self.model.faces), uvs,
+            face_uvs, texture=img,
         )
         if self.args.debug:
             scan_face_uvs2 = scan.uvs[scan.face_uvs]
@@ -285,24 +297,42 @@ class Runner:
                 param, os.path.join(smpl_folder, f"{subject}.npy")
             )
 
+    def _prepare_scan(self, subject, meshfile):
+        """Host-side prep for one scan (obj load, view render/IO, openpose)
+        — prefetched one scan ahead while the previous scan fits."""
+        data = self.render_data(subject, meshfile)
+        if "openpose" in self.args.tasks:
+            self.run_openpose(subject, len(data[2]))
+        keypoints = load_openpose_dir(
+            os.path.join(self.output_dir, subject, "openpose")
+        )
+        return data, keypoints
+
     def run(self):
-        for subject, meshfile, gender in zip(
-            self.subjects, self.meshfiles, self.genders
-        ):
-            data = self.render_data(subject, meshfile)
-            scan, scan_face_uvs = data[0], data[1]
-            if "openpose" in self.args.tasks:
-                self.run_openpose(subject, len(data[2]))
-            keypoints = load_openpose_dir(
-                os.path.join(self.output_dir, subject, "openpose")
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(zip(self.subjects, self.meshfiles, self.genders))
+        with ThreadPoolExecutor(max_workers=1) as prep:
+            fut = (
+                prep.submit(self._prepare_scan, items[0][0], items[0][1])
+                if items else None
             )
-            result = None
-            if "smplify" in self.args.tasks:
-                result = self.run_smplify(subject, scan, data, keypoints)
-            if "texfit" in self.args.tasks and result is not None:
-                self.run_texfit(subject, scan, scan_face_uvs, result)
-            if "output" in self.args.tasks:
-                self.run_output(subject)
+            for i, (subject, meshfile, gender) in enumerate(items):
+                data, keypoints = fut.result()
+                if i + 1 < len(items):
+                    fut = prep.submit(
+                        self._prepare_scan, items[i + 1][0], items[i + 1][1]
+                    )
+                scan, scan_face_uvs = data[0], data[1]
+                result = None
+                if "smplify" in self.args.tasks:
+                    result = self.run_smplify(
+                        subject, scan, data, keypoints
+                    )
+                if "texfit" in self.args.tasks and result is not None:
+                    self.run_texfit(subject, scan, scan_face_uvs, result)
+                if "output" in self.args.tasks:
+                    self.run_output(subject)
 
 
 def main(argv=None):
