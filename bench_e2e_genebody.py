@@ -127,6 +127,7 @@ def main():
     ap.add_argument("--num_iters", type=int, default=600)
     ap.add_argument("--batch_frames", type=int, default=16)
     ap.add_argument("--prep_workers", type=int, default=2)
+    ap.add_argument("--timing", action="store_true")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -157,7 +158,7 @@ def main():
         "--num_iters", str(args.num_iters),
         "--batch_frames", str(args.batch_frames),
         "--prep_workers", str(args.prep_workers),
-    ])
+    ] + (["--timing"] if args.timing else []))
     runner = genebody.Runner(app_args)
     write_openpose_jsons(out_dir, subject, frames_kp, runner.views, 512)
 

@@ -72,6 +72,13 @@ def config_parser():
                    help="host threads preparing upcoming frames (IO/crop/"
                         "contours) while the chip fits the current batch; "
                         "0 = fully serial (the reference's structure)")
+    p.add_argument("--data_parallel", default=False, action="store_true",
+                   help="shard each frame batch over all local devices "
+                        "(multi-chip data parallelism; batch_frames should "
+                        "be a multiple of the device count)")
+    p.add_argument("--timing", default=False, action="store_true",
+                   help="accumulate per-stage wall times; summary printed "
+                        "at the end and written to <output_dir>/timing.json")
     p.add_argument("--model_path", type=str, default=None,
                    help="SMPL pkl / SMPL-X npz asset; synthetic when absent")
     p.add_argument("--gmm_path", type=str, default=None,
@@ -141,6 +148,20 @@ class Runner:
         import threading
 
         self._detector_lock = threading.Lock()
+        self._dp_mesh = None
+        if args.timing:
+            from bodyfitting_tpu.utils.observability import StageTimer
+
+            self.timer = StageTimer()
+        else:
+            self.timer = None
+
+    def _stage(self, name):
+        import contextlib
+
+        return self.timer.stage(name) if self.timer else (
+            contextlib.nullcontext()
+        )
 
     def _gender(self):
         if self.args.info_dir and os.path.exists(self.args.info_dir):
@@ -180,27 +201,43 @@ class Runner:
         )
         frame_idx = self.seqs.index(frame)
 
+        # The fit consumes only masks (bbox -> K adjustment, GT-view
+        # contours) and the cached keypoint JSONs; the images themselves
+        # feed the keypoint detector (skipped when JSONs are cached), the
+        # HMR keyframe init and debug overlays.  When none of those run,
+        # skip the image decode entirely — on real GeneBody data the
+        # full-res JPEG decode is the dominant host cost per view.
+        need_images = (
+            not jsons_cached or self.hmr is not None or self.args.debug
+        )
+
         def load_view(i, view):
             """Read + crop one view (IO/decode-bound; runs threaded —
             the reference reads its 48 views serially,
             genebody_fitting.py:111-142)."""
-            img = imageio.imread(os.path.join(
-                self.target_dir, "image", "%02d" % view, imgnames[frame_idx]
-            ))
             msk = imageio.imread(os.path.join(
                 self.target_dir, "mask", "%02d" % view, msknames[frame_idx]
             ))
             if msk.ndim == 3:
                 msk = msk[..., 0]
-            bbox = mask_square_bbox(msk)
-            img = apply_mask(img, msk)
-            img = crop_and_resize(img, bbox, size)
-            if np.mean(img) <= 10:      # black frame -> view unusable
+            if not msk.any():           # empty mask -> view unusable
                 return None
-            if not jsons_cached:
-                imageio.imwrite(
-                    os.path.join(img_dir, "%02d.png" % view), img
-                )
+            bbox = mask_square_bbox(msk)
+            if need_images:
+                img = imageio.imread(os.path.join(
+                    self.target_dir, "image", "%02d" % view,
+                    imgnames[frame_idx]
+                ))
+                img = apply_mask(img, msk)
+                img = crop_and_resize(img, bbox, size)
+                if np.mean(img) <= 10:  # black frame -> view unusable
+                    return None
+                if not jsons_cached:
+                    imageio.imwrite(
+                        os.path.join(img_dir, "%02d.png" % view), img
+                    )
+            else:
+                img = None
             crop_msk = (
                 crop_and_resize(msk, bbox, size, nearest=True)
                 if view in self.mask_frames and self.args.use_mask else None
@@ -390,9 +427,20 @@ class Runner:
         init_list = [i for _, i in inputs]
         if self.args.smplx_with_smpl_init and self.args.smpl_type == "smplx":
             init_list = self._smpl_init_stage(obs_list, init_list, config)
-        _, results, losses = bf.fit_frames_batched(
-            self.model, config, obs_list, init_list, self.prior
-        )
+        with self._stage("fit/dispatch"):
+            if self.args.data_parallel:
+                from bodyfitting_tpu.parallel import sharding as sh
+
+                if self._dp_mesh is None:
+                    self._dp_mesh = sh.make_mesh(n_view_shards=1)
+                _, results, losses = bf.fit_frames_batched_sharded(
+                    self.model, config, obs_list, init_list, self.prior,
+                    mesh=self._dp_mesh,
+                )
+            else:
+                _, results, losses = bf.fit_frames_batched(
+                    self.model, config, obs_list, init_list, self.prior
+                )
         return results, losses
 
     def write_batch(self, frames, results, losses):
@@ -403,18 +451,20 @@ class Runner:
         from bodyfitting_tpu.utils.observability import LossTrace
 
         trace = LossTrace(os.path.join(self.output_dir, "loss_trace.jsonl"))
-        losses_np = np.asarray(losses)
-        results = {k: np.asarray(v) for k, v in results.items()}
-        for bi, frame in enumerate(frames):
-            trace.record(int(frame), losses_np[bi])
-            result = {k: v[bi] for k, v in results.items()}
-            out_dir = os.path.join(
-                self.output_dir, "%06d" % frame, "smplify"
-            )
-            bf.save_frame_outputs(
-                out_dir, self.args.smpl_type, self.model, result,
-                debug=False,
-            )
+        with self._stage("fit/device_wait"):
+            losses_np = np.asarray(losses)
+            results = {k: np.asarray(v) for k, v in results.items()}
+        with self._stage("write/outputs"):
+            for bi, frame in enumerate(frames):
+                trace.record(int(frame), losses_np[bi])
+                result = {k: v[bi] for k, v in results.items()}
+                out_dir = os.path.join(
+                    self.output_dir, "%06d" % frame, "smplify"
+                )
+                bf.save_frame_outputs(
+                    out_dir, self.args.smpl_type, self.model, result,
+                    debug=False,
+                )
 
     def fit_batch(self, frames, inputs):
         results, losses = self.dispatch_fit(frames, inputs)
@@ -442,13 +492,16 @@ class Runner:
         """Host-side prep for one frame: image IO/crop, keypoint detection,
         observation assembly.  Pure host work (plus tiny HMR-init device
         calls) — safe to run on prep threads while the chip fits."""
-        data = self.get_data(frame)
+        with self._stage("prep/images"):
+            data = self.get_data(frame)
         if "openpose" in self.args.tasks:
-            self.run_openpose(frame, data)
+            with self._stage("prep/openpose"):
+                self.run_openpose(frame, data)
         if "smplify" not in self.args.tasks:
             return None
-        keypoints = self.read_openpose(frame)
-        return self.build_frame_inputs(frame, data, keypoints)
+        with self._stage("prep/observations"):
+            keypoints = self.read_openpose(frame)
+            return self.build_frame_inputs(frame, data, keypoints)
 
     def run(self):
         if self.args.prep_workers <= 0:
@@ -462,6 +515,12 @@ class Runner:
                     f"{self.args.smpl_type}.obj",
                 )):
                     self.run_output(frame)
+        if self.timer is not None:
+            import json
+
+            summary = self.timer.summary()
+            print("[timing] " + json.dumps(summary), file=sys.stderr)
+            self.timer.dump(os.path.join(self.output_dir, "timing.json"))
 
     def _run_serial(self):
         """The reference's structure: prep -> fit -> write, one batch at a

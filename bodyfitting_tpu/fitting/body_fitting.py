@@ -305,6 +305,42 @@ def fit_frames_batched(
     return fit(obs, init)
 
 
+def fit_frames_batched_sharded(
+    model: bm.BodyModel,
+    config: smplify.FitConfig,
+    obs_list: Sequence[smplify.Observations],
+    init_list: Sequence[smplify.FitParams],
+    pose_prior_fn,
+    mesh=None,
+):
+    """Data-parallel :func:`fit_frames_batched`: the stacked frame axis is
+    sharded over a ``(frames,)`` device mesh (multi-chip scaling the
+    reference's serial loop, genebody_fitting.py:183-192, never had).
+
+    Pads the batch by repeating the last frame up to the mesh size and
+    strips the padding from every output.
+    """
+    from bodyfitting_tpu.parallel import sharding as sh
+
+    if mesh is None:
+        mesh = sh.make_mesh(n_view_shards=1)
+    n = len(obs_list)
+    n_shards = mesh.shape["frames"]
+    pad = (-n) % n_shards
+    obs_list = list(obs_list) + [obs_list[-1]] * pad
+    init_list = list(init_list) + [init_list[-1]] * pad
+    obs = jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list)
+    init = jax.tree.map(lambda *xs: jnp.stack(xs), *init_list)
+    params, results, losses = sh.fit_sequence_sharded(
+        model, config, obs, init, pose_prior_fn, mesh=mesh
+    )
+    return (
+        jax.tree.map(lambda x: x[:n], params),
+        {k: v[:n] for k, v in results.items()},
+        losses[:n],
+    )
+
+
 def save_frame_outputs(
     output_folder: str,
     smpl_type: str,

@@ -146,8 +146,20 @@ def load_obj(path: str, load_texture: bool = False,
     )
 
 
-def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
-    """Plain mesh writer, reference format (io_utils.py:185-192)."""
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray,
+             use_native: bool = True) -> None:
+    """Plain mesh writer, reference format (io_utils.py:185-192).
+
+    Uses the native C++ writer when available (same ``%.4f`` / 1-based
+    format, byte-identical — pinned by tests/test_native.py) — the app
+    writes one 10k-vert mesh per fitted frame, and the Python per-line
+    loop is ~20x slower.
+    """
+    if use_native:
+        from bodyfitting_tpu.io.native import write_obj_native
+
+        if write_obj_native(path, verts, faces):
+            return
     with open(path, "w") as f:
         for v in np.asarray(verts):
             f.write("v %.4f %.4f %.4f\n" % (v[0], v[1], v[2]))

@@ -62,8 +62,11 @@ class StageTimer:
     """Accumulates wall time per named pipeline stage."""
 
     def __init__(self):
+        import threading
+
         self.totals: dict[str, float] = {}
         self.counts: dict[str, int] = {}
+        self._lock = threading.Lock()   # stages run on pipeline threads
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -72,8 +75,9 @@ class StageTimer:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self.totals[name] = self.totals.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + 1
+            with self._lock:
+                self.totals[name] = self.totals.get(name, 0.0) + dt
+                self.counts[name] = self.counts.get(name, 0) + 1
 
     def summary(self) -> dict:
         return {

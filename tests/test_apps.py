@@ -180,6 +180,67 @@ def test_genebody_pipelined_matches_serial(genebody_dataset, tmp_path):
         assert frames == [0, 1]
 
 
+def test_genebody_data_parallel_matches_single(genebody_dataset, tmp_path):
+    """--data_parallel shards each frame batch over the 8-device CPU mesh
+    (conftest) and must produce the same fits as the unsharded path,
+    including batch padding (2 frames padded to 8 shards)."""
+    import shutil
+
+    root, subject, size = genebody_dataset
+    from bodyfitting_tpu.apps import genebody
+
+    outs = {}
+    for mode, extra in (("single", []), ("dp", ["--data_parallel"])):
+        out_dir = tmp_path / f"out_{mode}"
+        args = genebody.config_parser().parse_args([
+            "--target_dir", str(root / "genebody"),
+            "--output_dir", str(out_dir),
+            "--subject", subject,
+            "--load_size", str(size),
+            "--tasks", "openpose", "smplify", "output",
+            "--num_iters", "6",
+            "--batch_frames", "2",
+            "--synthetic_num_verts", "64",
+        ] + extra)
+        runner = genebody.Runner(args)
+        if mode == "single":
+            rng = np.random.default_rng(3)
+            for frame in runner.seqs:
+                data = runner.get_data(frame)
+                op_dir = out_dir / subject / ("%06d" % frame) / "openpose"
+                op_dir.mkdir(parents=True, exist_ok=True)
+                for view in data[4]:
+                    _write_openpose_json(
+                        str(op_dir / ("%02d_keypoints.json" % view)),
+                        rng, size,
+                    )
+            json_src = out_dir
+        else:
+            for frame in runner.seqs:
+                shutil.copytree(
+                    str(json_src / subject / ("%06d" % frame) / "openpose"),
+                    str(out_dir / subject / ("%06d" % frame) / "openpose"),
+                )
+        runner.run()
+        outs[mode] = out_dir
+
+    for frame in (0, 1):
+        a = np.load(
+            str(outs["single"] / subject / "param" / ("%04d.npy" % frame)),
+            allow_pickle=True,
+        ).item()
+        b = np.load(
+            str(outs["dp"] / subject / "param" / ("%04d.npy" % frame)),
+            allow_pickle=True,
+        ).item()
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k], np.float64), np.asarray(b[k], np.float64),
+                rtol=2e-5, atol=1e-5, err_msg=k,
+            )
+
+
 def test_renderpeople_app_end_to_end(tmp_path):
     """Tiny textured 'scan' -> render views -> smplify+smpld -> texfit."""
     import imageio.v2 as imageio

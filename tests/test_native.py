@@ -78,6 +78,22 @@ def test_native_write_roundtrip(lib, tmp_path):
     np.testing.assert_array_equal(mesh.faces, faces)
 
 
+def test_native_writer_byte_identical_to_python(lib, tmp_path):
+    """save_obj's native fast path must be byte-identical to the Python
+    reference-format writer (io_utils.py:185-192) so cached outputs never
+    depend on which path wrote them."""
+    from bodyfitting_tpu.io.obj import save_obj
+
+    rng = np.random.default_rng(5)
+    verts = (rng.normal(size=(500, 3)) * 3).astype(np.float32)
+    faces = rng.integers(0, 500, size=(900, 3)).astype(np.int32)
+    p_nat = str(tmp_path / "nat.obj")
+    p_py = str(tmp_path / "py.obj")
+    save_obj(p_nat, verts, faces, use_native=True)
+    save_obj(p_py, verts, faces, use_native=False)
+    assert open(p_nat, "rb").read() == open(p_py, "rb").read()
+
+
 def test_native_is_faster_on_large_files(lib, tmp_path):
     rng = np.random.default_rng(2)
     n = 40000
