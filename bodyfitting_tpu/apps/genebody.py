@@ -76,6 +76,11 @@ def config_parser():
                    help="shard each frame batch over all local devices "
                         "(multi-chip data parallelism; batch_frames should "
                         "be a multiple of the device count)")
+    p.add_argument("--temporal", default=False, action="store_true",
+                   help="temporally-coupled fit per batch (velocity/"
+                        "betas-consistency priors over the frame axis; "
+                        "fitting/sequence.py) — a capability the "
+                        "reference's serial loop cannot express")
     p.add_argument("--timing", default=False, action="store_true",
                    help="accumulate per-stage wall times; summary printed "
                         "at the end and written to <output_dir>/timing.json")
@@ -428,14 +433,22 @@ class Runner:
         if self.args.smplx_with_smpl_init and self.args.smpl_type == "smplx":
             init_list = self._smpl_init_stage(obs_list, init_list, config)
         with self._stage("fit/dispatch"):
+            mesh = None
             if self.args.data_parallel:
                 from bodyfitting_tpu.parallel import sharding as sh
 
                 if self._dp_mesh is None:
                     self._dp_mesh = sh.make_mesh(n_view_shards=1)
+                mesh = self._dp_mesh
+            if self.args.temporal:
+                results, losses = bf.fit_sequence_batched(
+                    self.model, config, obs_list, init_list, self.prior,
+                    mesh=mesh,
+                )
+            elif mesh is not None:
                 _, results, losses = bf.fit_frames_batched_sharded(
                     self.model, config, obs_list, init_list, self.prior,
-                    mesh=self._dp_mesh,
+                    mesh=mesh,
                 )
             else:
                 _, results, losses = bf.fit_frames_batched(
@@ -456,7 +469,12 @@ class Runner:
             results = {k: np.asarray(v) for k, v in results.items()}
         with self._stage("write/outputs"):
             for bi, frame in enumerate(frames):
-                trace.record(int(frame), losses_np[bi])
+                # temporal fits return one joint (sequence-level) curve;
+                # record it under every frame of the batch
+                trace.record(
+                    int(frame),
+                    losses_np if losses_np.ndim == 1 else losses_np[bi],
+                )
                 result = {k: v[bi] for k, v in results.items()}
                 out_dir = os.path.join(
                     self.output_dir, "%06d" % frame, "smplify"

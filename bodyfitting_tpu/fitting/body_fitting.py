@@ -341,6 +341,57 @@ def fit_frames_batched_sharded(
     )
 
 
+def fit_sequence_batched(
+    model: bm.BodyModel,
+    config: smplify.FitConfig,
+    obs_list: Sequence[smplify.Observations],
+    init_list: Sequence[smplify.FitParams],
+    pose_prior_fn,
+    tcfg=None,
+    mesh=None,
+):
+    """Temporally-coupled batch fit (:func:`sequence.fit_sequence`) over a
+    list of per-frame observations, optionally sharded over a ``frames``
+    device mesh.
+
+    With a mesh, the batch is padded by repeating the last frame; padded
+    frames carry identical observations/inits, so the extra velocity terms
+    against them are ~0 and the real frames' fits are unaffected.  The
+    cross-shard temporal differences become neighbour-exchange collectives
+    XLA inserts automatically.  Returns ``(results, losses [num_iters])``
+    — the loss curve is sequence-level (one joint optimization).
+    """
+    from bodyfitting_tpu.fitting import sequence as seq
+
+    if tcfg is None:
+        tcfg = seq.TemporalConfig()
+    n = len(obs_list)
+    obs_list, init_list = list(obs_list), list(init_list)
+    if mesh is not None:
+        pad = (-n) % mesh.shape["frames"]
+        obs_list += [obs_list[-1]] * pad
+        init_list += [init_list[-1]] * pad
+    obs = jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list)
+    init = jax.tree.map(lambda *xs: jnp.stack(xs), *init_list)
+
+    fit_one = lambda o, i: seq.fit_sequence(  # noqa: E731
+        model, config, o, i, pose_prior_fn, tcfg
+    )
+    if mesh is not None:
+        from bodyfitting_tpu.parallel import sharding as sh
+
+        fit_j = jax.jit(
+            fit_one,
+            in_shardings=(
+                sh.obs_sharding(mesh, obs), sh.params_sharding(mesh, init)
+            ),
+        )
+    else:
+        fit_j = jax.jit(fit_one)
+    _, results, losses = fit_j(obs, init)
+    return {k: v[:n] for k, v in results.items()}, losses
+
+
 def save_frame_outputs(
     output_folder: str,
     smpl_type: str,

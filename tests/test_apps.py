@@ -241,6 +241,50 @@ def test_genebody_data_parallel_matches_single(genebody_dataset, tmp_path):
             )
 
 
+@pytest.mark.parametrize("dp", [False, True])
+def test_genebody_temporal_fit(genebody_dataset, tmp_path, dp):
+    """--temporal runs the temporally-coupled sequence fit per batch
+    (optionally sharded with --data_parallel) and writes the standard
+    outputs plus a sequence-level loss curve per frame."""
+    root, subject, size = genebody_dataset
+    from bodyfitting_tpu.apps import genebody
+
+    out_dir = tmp_path / f"out_temporal_{dp}"
+    args = genebody.config_parser().parse_args([
+        "--target_dir", str(root / "genebody"),
+        "--output_dir", str(out_dir),
+        "--subject", subject,
+        "--load_size", str(size),
+        "--tasks", "openpose", "smplify", "output",
+        "--num_iters", "6",
+        "--batch_frames", "2",
+        "--temporal",
+        "--synthetic_num_verts", "64",
+    ] + (["--data_parallel"] if dp else []))
+    runner = genebody.Runner(args)
+    rng = np.random.default_rng(11)
+    for frame in runner.seqs:
+        data = runner.get_data(frame)
+        op_dir = out_dir / subject / ("%06d" % frame) / "openpose"
+        op_dir.mkdir(parents=True, exist_ok=True)
+        for view in data[4]:
+            _write_openpose_json(
+                str(op_dir / ("%02d_keypoints.json" % view)), rng, size
+            )
+    runner.run()
+    for frame in (0, 1):
+        d = np.load(
+            str(out_dir / subject / "param" / ("%04d.npy" % frame)),
+            allow_pickle=True,
+        ).item()
+        assert np.isfinite(d["vertices"]).all()
+    recs = [json.loads(line) for line in
+            open(str(out_dir / subject / "loss_trace.jsonl"))]
+    assert sorted(r["frame"] for r in recs) == [0, 1]
+    # one joint optimization -> identical sequence-level curves
+    assert recs[0]["losses"] == recs[1]["losses"]
+
+
 def test_renderpeople_app_end_to_end(tmp_path):
     """Tiny textured 'scan' -> render views -> smplify+smpld -> texfit."""
     import imageio.v2 as imageio
