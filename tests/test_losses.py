@@ -207,6 +207,40 @@ def test_silhouette_loss_pulls_outward(rng):
     assert loss_for(1.0) > loss_for(2.0)
 
 
+def test_onehot_bilinear_matches_gather_bilinear(rng):
+    """The MXU one-hot sampler must equal the 4-tap gather sampler,
+    including out-of-image points (zero padding) and the stay-inside
+    algebra (coverage - mask_sample == (1-mask) sample)."""
+    from bodyfitting_tpu.losses.silhouette import (
+        _bilinear_sample_onehot,
+        _bilinear_sample_zero_pad,
+        _separable_bilinear_weights,
+    )
+
+    H, W = 48, 64
+    img = jnp.asarray(rng.uniform(size=(H, W)), jnp.float32)
+    xy = jnp.asarray(
+        rng.uniform(-10, 74, size=(300, 2)), jnp.float32
+    )  # includes far out-of-bounds on both sides
+    a = np.asarray(_bilinear_sample_zero_pad(img, xy))
+    b = np.asarray(_bilinear_sample_onehot(img, xy))
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+
+    inv = np.asarray(_bilinear_sample_zero_pad(1.0 - img, xy))
+    row_w, col_w = _separable_bilinear_weights((H, W), xy, jnp.float32)
+    coverage = np.asarray(jnp.sum(row_w, -1) * jnp.sum(col_w, -1))
+    np.testing.assert_allclose(
+        inv, coverage - b, rtol=0, atol=3e-5
+    )
+
+    # gradients w.r.t. coordinates agree too (the term's purpose)
+    ga = jax.grad(lambda p: jnp.sum(_bilinear_sample_zero_pad(img, p)))(xy)
+    gb = jax.grad(lambda p: jnp.sum(_bilinear_sample_onehot(img, p)))(xy)
+    np.testing.assert_allclose(
+        np.asarray(ga), np.asarray(gb), rtol=0, atol=2e-4
+    )
+
+
 def test_silhouette_loss_grad_finite(rng):
     H = 64
     mask = np.zeros((H, H), np.float32)
