@@ -111,7 +111,38 @@ def build_distance_volume(
 
 
 def query_distance(volume: DistanceVolume, points: jax.Array) -> jax.Array:
-    """Trilinear unsigned distance at ``points [Q, 3]`` (differentiable)."""
+    """Trilinear unsigned distance at ``points [Q, 3]`` (differentiable).
+
+    Separable one-hot form: hinge weights ``max(0, 1-|i-g|)`` per axis
+    reproduce the 8 trilinear taps exactly, and the x-axis contraction is
+    a ``[Q, R] @ [R, R^2]`` matmul on the MXU.  XLA lowers the naive
+    8-tap volume gather to a per-element TPU path that measured **44x
+    slower** (105.8 -> 2.4 ms/iter fwd+bwd at Q=10475, R=96 —
+    BENCH_NOTES.md).  HIGHEST matmul precision keeps values f32-exact
+    (max diff 2e-7 vs the gather form, pinned by test); the extra cost
+    over DEFAULT (~0.7 ms) is worth exactness for an optimization target.
+    """
+    R = volume.resolution
+    g = (points - volume.origin) / volume.spacing
+    g = jnp.clip(g, 0.0, R - 1 - 1e-5)
+    ir = jnp.arange(R, dtype=points.dtype)[None, :]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ir - g[:, 0][:, None]))  # [Q, R]
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ir - g[:, 1][:, None]))
+    wz = jnp.maximum(0.0, 1.0 - jnp.abs(ir - g[:, 2][:, None]))
+    vol_flat = volume.dist.reshape(R, R * R)
+    vx = jax.lax.dot_general(
+        wx, vol_flat, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, R, R)                                          # [Q, R, R]
+    vy = jnp.sum(vx * wy[:, :, None], axis=1)                    # [Q, R]
+    return jnp.sum(vy * wz, axis=-1)
+
+
+def _query_distance_gather(
+    volume: DistanceVolume, points: jax.Array
+) -> jax.Array:
+    """Reference 8-tap gather trilinear query (slow on TPU; kept as the
+    oracle for :func:`query_distance` parity tests)."""
     R = volume.resolution
     g = (points - volume.origin) / volume.spacing
     g = jnp.clip(g, 0.0, R - 1 - 1e-5)
@@ -138,11 +169,27 @@ def query_distance(volume: DistanceVolume, points: jax.Array) -> jax.Array:
 
 def query_nearest_face(volume: DistanceVolume,
                        points: jax.Array) -> jax.Array:
-    """Nearest-face index from the cell containing each point (rounded)."""
+    """Nearest-face index from the cell containing each point (rounded).
+
+    Same separable one-hot trick as :func:`query_distance`, with exact
+    0/1 weights (one cell per point): the face indices ride through an
+    f32 matmul losslessly (face counts < 2^24), avoiding the slow TPU
+    per-element volume gather in the displacement-stage hot loop.
+    """
     R = volume.resolution
     g = (points - volume.origin) / volume.spacing
-    i = jnp.clip(jnp.round(g), 0, R - 1).astype(jnp.int32)
-    return volume.face_idx[i[:, 0], i[:, 1], i[:, 2]]
+    i = jnp.clip(jnp.round(g), 0, R - 1)
+    ir = jnp.arange(R, dtype=points.dtype)[None, :]
+    wx = (ir == i[:, 0][:, None]).astype(points.dtype)           # [Q, R]
+    wy = (ir == i[:, 1][:, None]).astype(points.dtype)
+    wz = (ir == i[:, 2][:, None]).astype(points.dtype)
+    vol_flat = volume.face_idx.astype(points.dtype).reshape(R, R * R)
+    vx = jax.lax.dot_general(
+        wx, vol_flat, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, R, R)
+    vy = jnp.sum(vx * wy[:, :, None], axis=1)
+    return jnp.round(jnp.sum(vy * wz, axis=-1)).astype(jnp.int32)
 
 
 def point_cloud_loss_sdf(points: jax.Array,

@@ -39,6 +39,30 @@ def test_distance_volume_matches_exact(sphere_mesh, rng):
     assert np.abs(approx - exact).mean() < 0.015
 
 
+def test_separable_query_matches_gather_query(sphere_mesh, rng):
+    """The MXU separable trilinear query must be f32-exact against the
+    8-tap gather oracle, values and point-gradients, including points
+    outside the volume (clipped identically)."""
+    verts, faces = sphere_mesh
+    vol = sdf.build_distance_volume(verts, faces, resolution=48)
+    pts = jnp.asarray(rng.uniform(-2.0, 2.0, size=(500, 3)), jnp.float32)
+    a = np.asarray(sdf._query_distance_gather(vol, pts))
+    b = np.asarray(sdf.query_distance(vol, pts))
+    np.testing.assert_allclose(a, b, rtol=0, atol=5e-6)
+    ga = jax.grad(lambda p: jnp.sum(sdf._query_distance_gather(vol, p)))(pts)
+    gb = jax.grad(lambda p: jnp.sum(sdf.query_distance(vol, p)))(pts)
+    np.testing.assert_allclose(
+        np.asarray(ga), np.asarray(gb), rtol=0, atol=5e-5
+    )
+    # nearest-face lookup: separable form must be EXACT vs direct indexing
+    fid = np.asarray(sdf.query_nearest_face(vol, pts))
+    R = vol.resolution
+    g = np.asarray((pts - vol.origin) / vol.spacing)
+    i = np.clip(np.round(g), 0, R - 1).astype(np.int32)
+    expect = np.asarray(vol.face_idx)[i[:, 0], i[:, 1], i[:, 2]]
+    np.testing.assert_array_equal(fid, expect)
+
+
 def test_distance_gradient_points_to_surface(sphere_mesh):
     verts, faces = sphere_mesh
     vol = sdf.build_distance_volume(verts, faces, resolution=64)
