@@ -259,6 +259,7 @@ def test_genebody_temporal_fit(genebody_dataset, tmp_path, dp):
         "--num_iters", "6",
         "--batch_frames", "2",
         "--temporal",
+        "--timing",
         "--synthetic_num_verts", "64",
     ] + (["--data_parallel"] if dp else []))
     runner = genebody.Runner(args)
@@ -283,6 +284,13 @@ def test_genebody_temporal_fit(genebody_dataset, tmp_path, dp):
     assert sorted(r["frame"] for r in recs) == [0, 1]
     # one joint optimization -> identical sequence-level curves
     assert recs[0]["losses"] == recs[1]["losses"]
+    # --timing wrote the stage breakdown
+    timing = json.loads(
+        (out_dir / subject / "timing.json").read_text()
+    )
+    assert {"prep/images", "prep/observations", "fit/dispatch",
+            "fit/device_wait", "write/outputs"} <= set(timing)
+    assert timing["prep/images"]["calls"] == 2
 
 
 def test_renderpeople_app_end_to_end(tmp_path):
