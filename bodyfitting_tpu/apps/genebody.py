@@ -216,23 +216,26 @@ class Runner:
             not jsons_cached or self.hmr is not None or self.args.debug
         )
 
+        import cv2
+
         def load_view(i, view):
             """Read + crop one view (IO/decode-bound; runs threaded —
             the reference reads its 48 views serially,
-            genebody_fitting.py:111-142)."""
-            msk = imageio.imread(os.path.join(
+            genebody_fitting.py:111-142).  cv2 decode like the reference
+            (and ~7x faster than PIL on mask PNGs)."""
+            msk = cv2.imread(os.path.join(
                 self.target_dir, "mask", "%02d" % view, msknames[frame_idx]
-            ))
+            ), cv2.IMREAD_UNCHANGED)
             if msk.ndim == 3:
                 msk = msk[..., 0]
             if not msk.any():           # empty mask -> view unusable
                 return None
             bbox = mask_square_bbox(msk)
             if need_images:
-                img = imageio.imread(os.path.join(
+                img = cv2.imread(os.path.join(
                     self.target_dir, "image", "%02d" % view,
                     imgnames[frame_idx]
-                ))
+                ), cv2.IMREAD_COLOR)[:, :, ::-1]    # BGR -> RGB
                 img = apply_mask(img, msk)
                 img = crop_and_resize(img, bbox, size)
                 if np.mean(img) <= 10:  # black frame -> view unusable

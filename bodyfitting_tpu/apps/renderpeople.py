@@ -120,12 +120,16 @@ class Runner:
         scan_face_uvs = scan.uvs[scan.face_uvs]
 
         if os.path.exists(os.path.join(imgdir, "00.png")):
+            import cv2
+
             images = [
-                imageio.imread(os.path.join(imgdir, "%02d.png" % i))
+                cv2.imread(os.path.join(imgdir, "%02d.png" % i),
+                           cv2.IMREAD_COLOR)[:, :, ::-1]
                 for i in range(self.args.viewnum)
             ]
             masks = [
-                imageio.imread(os.path.join(maskdir, "%02d.png" % i))
+                cv2.imread(os.path.join(maskdir, "%02d.png" % i),
+                           cv2.IMREAD_UNCHANGED)
                 for i in range(self.args.viewnum)
             ]
             center, _, dist = texfit.scene_bounds(scan.verts)
