@@ -83,7 +83,6 @@ def bench_jax(batch_frames: int, n_views: int, iters: int):
         _, _, losses = fit(obs_r, inits)
         losses.block_until_ready()
     dt = (time.perf_counter() - t0) / runs
-    sequence_fits_per_sec = 1.0 / dt
     frame_fits_per_sec = batch_frames / dt
     print(
         f"jax: {iters}-iter fit x {batch_frames} frames x {n_views} views "

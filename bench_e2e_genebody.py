@@ -101,6 +101,15 @@ def write_openpose_jsons(out_dir, subject, frames_kp, views, size):
             uv = proj[v]
             # crops move keypoints; conf-1 raw projections are fine for a
             # throughput benchmark (the app re-crops images by mask)
+            # face block in OpenPose-70 order: the loader permutes via
+            # FACE_MAPPING back into model order, so write the model's
+            # 68 face points (uv[67:135]) through the inverse mapping;
+            # the 2 pupil slots stay confidence-0
+            from bodyfitting_tpu.constants import FACE_MAPPING
+
+            face = np.zeros((70, 3), np.float32)
+            face[FACE_MAPPING, :2] = uv[67:135]
+            face[FACE_MAPPING, 2] = 1.0
             person = {
                 "pose_keypoints_2d": [
                     float(x) for x in np.concatenate(
@@ -112,10 +121,7 @@ def write_openpose_jsons(out_dir, subject, frames_kp, views, size):
                     float(x) for x in np.concatenate(
                         [uv[46:67], np.ones((21, 1))], 1).reshape(-1)],
                 "face_keypoints_2d": [
-                    float(x) for x in np.concatenate(
-                        [uv[67:137] if uv.shape[0] >= 137 else
-                         np.zeros((70, 2)), np.ones((70, 1))], 1
-                    ).reshape(-1)],
+                    float(x) for x in face.reshape(-1)],
             }
             with open(os.path.join(op, "%02d_keypoints.json" % v), "w") as f:
                 json.dump({"version": 1.3, "people": [person]}, f)

@@ -94,11 +94,6 @@ def run(impl: str, scan_verts, scan_faces, num_iters: int):
     import optax
 
     from bodyfitting_tpu.fitting.checkpointing import fit_resumable
-    from bodyfitting_tpu.losses.mesh import (
-        compute_face_normals, compute_vertex_normals, normal_laplacian_smoothness,
-        normal_loss, point_cloud_loss,
-    )
-    from bodyfitting_tpu.ops.sdf import normal_loss_sdf, point_cloud_loss_sdf
 
     config = smplify.FitConfig(
         num_iters=num_iters, imsize=512.0, use_mesh=True, displacement=False,
@@ -113,27 +108,13 @@ def run(impl: str, scan_verts, scan_faces, num_iters: int):
     )
     jax.block_until_ready(losses)
 
-    # displacement stage, chunked (mirrors smplify.fit_displacement)
+    # displacement stage, chunked — the objective/optimizer/init come
+    # from the production path itself (smplify.displacement_problem), so
+    # this benchmark cannot desynchronize from what smplify.fit runs
     body_vertices = jax.lax.stop_gradient(result["vertices"])
-    faces = model.faces
-    scan_face_normals = compute_face_normals(scan_verts, scan_faces)
-
-    def disp_loss(disp):
-        deformed = body_vertices + disp
-        deformed_norms = compute_vertex_normals(deformed, faces)
-        if impl == "sdf":
-            icp = point_cloud_loss_sdf(deformed, obs.scan_volume)
-            nl = normal_loss_sdf(deformed, deformed_norms, obs.scan_volume,
-                                 scan_face_normals)
-        else:
-            icp = point_cloud_loss(deformed, scan_verts, scan_faces)
-            nl = normal_loss(deformed, deformed_norms, scan_verts,
-                             scan_faces, scan_face_normals)
-        sm = normal_laplacian_smoothness(deformed_norms, faces)
-        return icp + (nl + sm) * obs.constant_scale * 0.1
-
-    tx = optax.adam(config.disp_lr, b1=config.adam_b1, b2=config.adam_b2)
-    disp = jnp.zeros_like(body_vertices)
+    disp_loss, tx, disp = smplify.displacement_problem(
+        model, config, obs, body_vertices
+    )
     opt_state = tx.init(disp)
 
     def disp_chunk(disp, opt_state, n):

@@ -193,11 +193,6 @@ class Runner:
         # frame's keypoint JSONs are already cached (run_openpose's own
         # skip condition), encoding ~48 PNGs per frame is pure waste
         op_dir = os.path.join(self.output_dir, "%06d" % frame, "openpose")
-        jsons_cached = (
-            os.path.isdir(op_dir)
-            and len([f for f in os.listdir(op_dir) if f.endswith(".json")])
-            >= len(self.views)
-        )
         imgnames = sorted(
             os.listdir(os.path.join(self.target_dir, "image", "00"))
         )
@@ -206,23 +201,24 @@ class Runner:
         )
         frame_idx = self.seqs.index(frame)
 
-        # The fit consumes only masks (bbox -> K adjustment, GT-view
-        # contours) and the cached keypoint JSONs; the images themselves
-        # feed the keypoint detector (skipped when JSONs are cached), the
-        # HMR keyframe init and debug overlays.  When none of those run,
-        # skip the image decode entirely — on real GeneBody data the
-        # full-res JPEG decode is the dominant host cost per view.
-        need_images = (
-            not jsons_cached or self.hmr is not None or self.args.debug
-        )
-
         import cv2
 
         def load_view(i, view):
             """Read + crop one view (IO/decode-bound; runs threaded —
             the reference reads its 48 views serially,
             genebody_fitting.py:111-142).  cv2 decode like the reference
-            (and ~7x faster than PIL on mask PNGs)."""
+            (and ~7x faster than PIL on mask PNGs).
+
+            Per-view image-decode skip: the fit consumes only the mask
+            (bbox -> K adjustment, GT-view contours) and the keypoint
+            JSON; the image feeds the detector (not needed once this
+            view's JSON exists), the HMR keyframe init and debug
+            overlays.  A cached JSON also *is* the persisted record that
+            this view passed the black-frame filter on the run that
+            produced it — a filtered (black) view never got a crop PNG,
+            so it never got a JSON, and is re-checked every run.  On
+            full-res GeneBody data the JPEG decode is the dominant host
+            cost per view."""
             msk = cv2.imread(os.path.join(
                 self.target_dir, "mask", "%02d" % view, msknames[frame_idx]
             ), cv2.IMREAD_UNCHANGED)
@@ -231,7 +227,10 @@ class Runner:
             if not msk.any():           # empty mask -> view unusable
                 return None
             bbox = mask_square_bbox(msk)
-            if need_images:
+            json_cached = os.path.exists(
+                os.path.join(op_dir, "%02d_keypoints.json" % view)
+            )
+            if not json_cached or self.hmr is not None or self.args.debug:
                 img = cv2.imread(os.path.join(
                     self.target_dir, "image", "%02d" % view,
                     imgnames[frame_idx]
@@ -240,7 +239,9 @@ class Runner:
                 img = crop_and_resize(img, bbox, size)
                 if np.mean(img) <= 10:  # black frame -> view unusable
                     return None
-                if not jsons_cached:
+                if not json_cached:
+                    # crop PNGs exist only to feed the OpenPose binary;
+                    # written per missing view (incremental re-runs)
                     imageio.imwrite(
                         os.path.join(img_dir, "%02d.png" % view), img
                     )

@@ -355,11 +355,13 @@ def fit_sequence_batched(
     device mesh.
 
     With a mesh, the batch is padded by repeating the last frame; padded
-    frames carry identical observations/inits, so the extra velocity terms
-    against them are ~0 and the real frames' fits are unaffected.  The
-    cross-shard temporal differences become neighbour-exchange collectives
-    XLA inserts automatically.  Returns ``(results, losses [num_iters])``
-    — the loss curve is sequence-level (one joint optimization).
+    frames are excluded from the objective via ``frame_valid`` (their
+    data losses and every temporal term touching them carry zero weight,
+    see :func:`sequence.temporal_loss`), so the real frames' fits match
+    the unpadded objective exactly.  The cross-shard temporal differences
+    become neighbour-exchange collectives XLA inserts automatically.
+    Returns ``(results, losses [num_iters])`` — the loss curve is
+    sequence-level (one joint optimization over the valid frames).
     """
     from bodyfitting_tpu.fitting import sequence as seq
 
@@ -367,28 +369,35 @@ def fit_sequence_batched(
         tcfg = seq.TemporalConfig()
     n = len(obs_list)
     obs_list, init_list = list(obs_list), list(init_list)
+    frame_valid = None
     if mesh is not None:
         pad = (-n) % mesh.shape["frames"]
         obs_list += [obs_list[-1]] * pad
         init_list += [init_list[-1]] * pad
+        frame_valid = jnp.asarray(
+            [1.0] * n + [0.0] * pad, jnp.float32
+        )
     obs = jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list)
     init = jax.tree.map(lambda *xs: jnp.stack(xs), *init_list)
 
-    fit_one = lambda o, i: seq.fit_sequence(  # noqa: E731
-        model, config, o, i, pose_prior_fn, tcfg
+    fit_one = lambda o, i, v: seq.fit_sequence(  # noqa: E731
+        model, config, o, i, pose_prior_fn, tcfg, frame_valid=v
     )
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from bodyfitting_tpu.parallel import sharding as sh
 
         fit_j = jax.jit(
             fit_one,
             in_shardings=(
-                sh.obs_sharding(mesh, obs), sh.params_sharding(mesh, init)
+                sh.obs_sharding(mesh, obs), sh.params_sharding(mesh, init),
+                NamedSharding(mesh, P("frames")),
             ),
         )
     else:
         fit_j = jax.jit(fit_one)
-    _, results, losses = fit_j(obs, init)
+    _, results, losses = fit_j(obs, init, frame_valid)
     return {k: v[:n] for k, v in results.items()}, losses
 
 

@@ -83,6 +83,9 @@ def fit_resumable(
     Returns ``(params, result dict, losses [num_iters])``.
     """
     tx = smplify._make_optimizer(config, init)
+    # same model reduction as smplify.fit so chunked runs follow the
+    # production trajectory (trajectories are float-chaotic, CLAUDE.md)
+    loss_model, joints_model = smplify.loss_models(model, config)
     params = init
     opt_state = tx.init(init)
     start_step = 0
@@ -97,7 +100,8 @@ def fit_resumable(
             p, s = carry
             (loss, _), grads = jax.value_and_grad(
                 lambda q: smplify.fit_loss(
-                    model, config, q, obs, step, pose_prior_fn
+                    loss_model, config, q, obs, step, pose_prior_fn,
+                    joints_model=joints_model,
                 ),
                 has_aux=True,
             )(p)

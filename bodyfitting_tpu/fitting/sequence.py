@@ -34,25 +34,50 @@ class TemporalConfig:
 
 
 def temporal_loss(
-    params: smplify.FitParams, tcfg: TemporalConfig
+    params: smplify.FitParams, tcfg: TemporalConfig,
+    frame_valid=None,
 ) -> jax.Array:
-    """Smoothness terms over the leading frame axis of batched params."""
+    """Smoothness terms over the leading frame axis of batched params.
+
+    ``frame_valid`` (``[F]`` of 0/1, default all-valid) excludes padding
+    frames: velocity/acceleration pairs touching a padded frame carry
+    zero weight and the betas-consistency mean runs over valid frames
+    only, so padding a batch (e.g. to a device-mesh multiple) leaves the
+    real frames' objective bit-identical to the unpadded fit.
+    """
+    F = params.global_transl.shape[0]
+    if frame_valid is None:
+        frame_valid = jnp.ones((F,), params.global_transl.dtype)
+    v_pair = frame_valid[1:] * frame_valid[:-1]
+    v_tri = (
+        frame_valid[2:] * frame_valid[1:-1] * frame_valid[:-2]
+        if F > 2 else None
+    )
 
     def vel(x):
-        return jnp.sum((x[1:] - x[:-1]) ** 2)
+        d2 = jnp.sum((x[1:] - x[:-1]) ** 2, axis=tuple(range(1, x.ndim)))
+        return jnp.sum(d2 * v_pair)
 
     def acc(x):
-        return jnp.sum((x[2:] - 2 * x[1:-1] + x[:-2]) ** 2) if (
-            x.shape[0] > 2
-        ) else jnp.zeros(())
+        if v_tri is None:
+            return jnp.zeros(())
+        d2 = jnp.sum(
+            (x[2:] - 2 * x[1:-1] + x[:-2]) ** 2,
+            axis=tuple(range(1, x.ndim)),
+        )
+        return jnp.sum(d2 * v_tri)
 
     total = tcfg.pose_velocity_weight * vel(params.body.body_pose)
     total += tcfg.orient_velocity_weight * vel(params.body.global_orient)
     total += tcfg.transl_velocity_weight * vel(params.global_transl)
     # shape should be constant across a subject's sequence
-    mean_betas = params.body.betas.mean(axis=0, keepdims=True)
+    n_valid = jnp.maximum(jnp.sum(frame_valid), 1.0)
+    mean_betas = (
+        jnp.sum(params.body.betas * frame_valid[:, None], axis=0,
+                keepdims=True) / n_valid
+    )
     total += tcfg.betas_consistency_weight * jnp.sum(
-        (params.body.betas - mean_betas) ** 2
+        (params.body.betas - mean_betas) ** 2 * frame_valid[:, None]
     )
     if tcfg.acceleration_weight:
         total += tcfg.acceleration_weight * (
@@ -68,35 +93,38 @@ def fit_sequence(
     init_batched: smplify.FitParams,
     pose_prior_fn,
     tcfg: TemporalConfig = TemporalConfig(),
+    frame_valid=None,
 ):
     """Jointly fit a sequence of frames with temporal smoothing.
 
     ``obs_batched`` / ``init_batched`` carry a leading frame axis.  Returns
     ``(params, result dict (batched), losses [num_iters])`` — like
     :func:`smplify.fit` but one optimization over all frames at once.
+    ``frame_valid`` (``[F]`` 0/1) marks padding frames whose data and
+    temporal terms are excluded from the objective (see
+    :func:`temporal_loss`).
     """
     tx = smplify._make_optimizer(config, init_batched)
     opt_state = tx.init(init_batched)
 
-    loss_model = model
-    if config.reduce_joints_only and not (config.use_mask or config.use_mesh):
-        try:
-            # joints-only reduction, as in smplify.fit (host-side; needs
-            # concrete model arrays — the normal closed-over case)
-            loss_model = bm.reduce_for_joints(model)
-        except jax.errors.TracerArrayConversionError:
-            loss_model = model
+    # same model reduction as smplify.fit so per-frame trajectories agree
+    loss_model, joints_model = smplify.loss_models(model, config)
 
     per_frame_loss = jax.vmap(
         lambda p, o, step: smplify.fit_loss(
-            loss_model, config, p, o, step, pose_prior_fn
+            loss_model, config, p, o, step, pose_prior_fn,
+            joints_model=joints_model,
         )[0],
         in_axes=(0, 0, None),
     )
 
     def total_loss(params, step):
         frame_losses = per_frame_loss(params, obs_batched, step)
-        return jnp.sum(frame_losses) + temporal_loss(params, tcfg)
+        if frame_valid is not None:
+            frame_losses = frame_losses * frame_valid
+        return jnp.sum(frame_losses) + temporal_loss(
+            params, tcfg, frame_valid
+        )
 
     def step_fn(carry, step):
         params, opt_state = carry

@@ -291,6 +291,28 @@ def fit_loss(
     return total, terms
 
 
+def loss_models(model: bm.BodyModel, config: FitConfig):
+    """The ``(loss_model, joints_model)`` pair every fit loop must use so
+    trajectories agree across entry points (fit / fit_resumable /
+    sequence fits): with ``reduce_joints_only``, the keypoint term runs
+    on the joints-reduced model and the full-vertex forward only inside
+    the gated mask/mesh branch."""
+    loss_model = model
+    joints_model = None
+    if config.reduce_joints_only:
+        try:
+            # Static host-side reduction; requires concrete model arrays
+            # (the normal case: the model is closed over, not a jit arg).
+            reduced = bm.reduce_for_joints(model)
+            if config.use_mask or config.use_mesh:
+                joints_model = reduced
+            else:
+                loss_model = reduced
+        except jax.errors.TracerArrayConversionError:
+            pass
+    return loss_model, joints_model
+
+
 def fit(
     model: bm.BodyModel,
     config: FitConfig,
@@ -312,22 +334,7 @@ def fit(
     """
     tx = _make_optimizer(config, init)
     opt_state = tx.init(init)
-
-    loss_model = model
-    joints_model = None
-    if config.reduce_joints_only:
-        try:
-            # Static host-side reduction; requires concrete model arrays
-            # (the normal case: the model is closed over, not a jit arg).
-            reduced = bm.reduce_for_joints(model)
-            if config.use_mask or config.use_mesh:
-                # keypoint term on the reduced model; the full-vertex
-                # forward runs only inside the gated mask/mesh branch
-                joints_model = reduced
-            else:
-                loss_model = reduced
-        except jax.errors.TracerArrayConversionError:
-            pass
+    loss_model, joints_model = loss_models(model, config)
 
     def step_fn(carry, step):
         params, opt_state = carry
@@ -377,6 +384,34 @@ def fit_displacement(
 ):
     """Stage 2: per-vertex displacement (SMPL+D) fit to the scan
     (reference smplify.py:228-247): ICP + normal + Laplacian losses."""
+    disp_loss, tx, disp0 = displacement_problem(
+        model, config, obs, body_vertices
+    )
+    opt_state = tx.init(disp0)
+
+    def step_fn(carry, _):
+        disp, opt_state = carry
+        loss, grads = jax.value_and_grad(disp_loss)(disp)
+        updates, opt_state = tx.update(grads, opt_state, disp)
+        disp = optax.apply_updates(disp, updates)
+        return (disp, opt_state), loss
+
+    (disp, _), losses = jax.lax.scan(
+        step_fn, (disp0, opt_state), None, length=config.num_iters
+    )
+    return disp, losses
+
+
+def displacement_problem(
+    model: bm.BodyModel,
+    config: FitConfig,
+    obs: Observations,
+    body_vertices: jax.Array,
+):
+    """The displacement stage as ``(loss_fn, optimizer, init)`` so every
+    entry point (the in-scan :func:`fit_displacement` and chunked
+    external loops like bench_sdf_equivalence) optimizes the SAME
+    objective with the same Adam hyperparameters."""
     faces = model.faces
     scan_face_normals = compute_face_normals(obs.scan_verts, obs.scan_faces)
     use_sdf = (
@@ -412,16 +447,4 @@ def fit_displacement(
         config.disp_lr, b1=config.adam_b1, b2=config.adam_b2
     )
     disp0 = jnp.zeros_like(body_vertices)
-    opt_state = tx.init(disp0)
-
-    def step_fn(carry, _):
-        disp, opt_state = carry
-        loss, grads = jax.value_and_grad(disp_loss)(disp)
-        updates, opt_state = tx.update(grads, opt_state, disp)
-        disp = optax.apply_updates(disp, updates)
-        return (disp, opt_state), loss
-
-    (disp, _), losses = jax.lax.scan(
-        step_fn, (disp0, opt_state), None, length=config.num_iters
-    )
-    return disp, losses
+    return disp_loss, tx, disp0

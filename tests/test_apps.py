@@ -241,56 +241,82 @@ def test_genebody_data_parallel_matches_single(genebody_dataset, tmp_path):
             )
 
 
-@pytest.mark.parametrize("dp", [False, True])
-def test_genebody_temporal_fit(genebody_dataset, tmp_path, dp):
-    """--temporal runs the temporally-coupled sequence fit per batch
-    (optionally sharded with --data_parallel) and writes the standard
-    outputs plus a sequence-level loss curve per frame."""
+def test_genebody_temporal_fit(genebody_dataset, tmp_path):
+    """--temporal runs the temporally-coupled sequence fit per batch;
+    with --data_parallel the batch is padded to the 8-device mesh and the
+    padding frames must be objective-inert: the fitted parameters must
+    match the unsharded temporal fit."""
+    import shutil
+
     root, subject, size = genebody_dataset
     from bodyfitting_tpu.apps import genebody
 
-    out_dir = tmp_path / f"out_temporal_{dp}"
-    args = genebody.config_parser().parse_args([
-        "--target_dir", str(root / "genebody"),
-        "--output_dir", str(out_dir),
-        "--subject", subject,
-        "--load_size", str(size),
-        "--tasks", "openpose", "smplify", "output",
-        "--num_iters", "6",
-        "--batch_frames", "2",
-        "--temporal",
-        "--timing",
-        "--synthetic_num_verts", "64",
-    ] + (["--data_parallel"] if dp else []))
-    runner = genebody.Runner(args)
-    rng = np.random.default_rng(11)
-    for frame in runner.seqs:
-        data = runner.get_data(frame)
-        op_dir = out_dir / subject / ("%06d" % frame) / "openpose"
-        op_dir.mkdir(parents=True, exist_ok=True)
-        for view in data[4]:
-            _write_openpose_json(
-                str(op_dir / ("%02d_keypoints.json" % view)), rng, size
-            )
-    runner.run()
+    outs = {}
+    for mode, extra in (("single", []), ("dp", ["--data_parallel"])):
+        out_dir = tmp_path / f"out_temporal_{mode}"
+        args = genebody.config_parser().parse_args([
+            "--target_dir", str(root / "genebody"),
+            "--output_dir", str(out_dir),
+            "--subject", subject,
+            "--load_size", str(size),
+            "--tasks", "openpose", "smplify", "output",
+            "--num_iters", "6",
+            "--batch_frames", "2",
+            "--temporal",
+            "--timing",
+            "--synthetic_num_verts", "64",
+        ] + extra)
+        runner = genebody.Runner(args)
+        if mode == "single":
+            rng = np.random.default_rng(11)
+            for frame in runner.seqs:
+                data = runner.get_data(frame)
+                op_dir = out_dir / subject / ("%06d" % frame) / "openpose"
+                op_dir.mkdir(parents=True, exist_ok=True)
+                for view in data[4]:
+                    _write_openpose_json(
+                        str(op_dir / ("%02d_keypoints.json" % view)),
+                        rng, size,
+                    )
+            json_src = out_dir
+        else:
+            for frame in runner.seqs:
+                shutil.copytree(
+                    str(json_src / subject / ("%06d" % frame) / "openpose"),
+                    str(out_dir / subject / ("%06d" % frame) / "openpose"),
+                )
+        runner.run()
+        outs[mode] = out_dir
+
+        recs = [json.loads(line) for line in
+                open(str(out_dir / subject / "loss_trace.jsonl"))]
+        assert sorted(r["frame"] for r in recs) == [0, 1]
+        # one joint optimization -> identical sequence-level curves
+        assert recs[0]["losses"] == recs[1]["losses"]
+        # --timing wrote the stage breakdown
+        timing = json.loads(
+            (out_dir / subject / "timing.json").read_text()
+        )
+        assert {"prep/images", "prep/observations", "fit/dispatch",
+                "fit/device_wait", "write/outputs"} <= set(timing)
+        assert timing["prep/images"]["calls"] == 2
+
+    # padding inertness: sharded+padded fit == unsharded fit
     for frame in (0, 1):
-        d = np.load(
-            str(out_dir / subject / "param" / ("%04d.npy" % frame)),
+        a = np.load(
+            str(outs["single"] / subject / "param" / ("%04d.npy" % frame)),
             allow_pickle=True,
         ).item()
-        assert np.isfinite(d["vertices"]).all()
-    recs = [json.loads(line) for line in
-            open(str(out_dir / subject / "loss_trace.jsonl"))]
-    assert sorted(r["frame"] for r in recs) == [0, 1]
-    # one joint optimization -> identical sequence-level curves
-    assert recs[0]["losses"] == recs[1]["losses"]
-    # --timing wrote the stage breakdown
-    timing = json.loads(
-        (out_dir / subject / "timing.json").read_text()
-    )
-    assert {"prep/images", "prep/observations", "fit/dispatch",
-            "fit/device_wait", "write/outputs"} <= set(timing)
-    assert timing["prep/images"]["calls"] == 2
+        b = np.load(
+            str(outs["dp"] / subject / "param" / ("%04d.npy" % frame)),
+            allow_pickle=True,
+        ).item()
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k], np.float64), np.asarray(b[k], np.float64),
+                rtol=2e-5, atol=1e-5, err_msg=f"frame {frame} {k}",
+            )
 
 
 def test_renderpeople_app_end_to_end(tmp_path):
