@@ -96,6 +96,21 @@ def config_parser():
     p.add_argument("--smplx_with_smpl_init", default=False,
                    action="store_true",
                    help="seed the SMPL-X fit from a first SMPL fit")
+    # Reference-CLI compatibility: genebody_fitting.py:43-56 declares these
+    # but never consumes them (dead parser rows inherited from rp_fitting);
+    # accept them so reference invocations run unchanged.
+    p.add_argument("--use_bodyscan", default=False, action="store_true",
+                   help="accepted for reference-CLI compatibility (unused, "
+                        "as in the reference)")
+    p.add_argument("--viewnum", type=int, default=8,
+                   help="accepted for reference-CLI compatibility (unused, "
+                        "as in the reference)")
+    p.add_argument("--smpl_uv_dir", type=str, default="./data/smpl_uv",
+                   help="accepted for reference-CLI compatibility (unused, "
+                        "as in the reference)")
+    p.add_argument("--white_bkgd", default=True, action="store_true",
+                   help="accepted for reference-CLI compatibility (unused, "
+                        "as in the reference)")
     return p
 
 

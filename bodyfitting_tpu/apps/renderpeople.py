@@ -64,6 +64,12 @@ def config_parser():
     p.add_argument("--prep_scans", default=False, action="store_true",
                    help="normalise scans in place first: insert missing "
                         "MTL references (reference mtl_check)")
+    # Reference-CLI compatibility: rp_fitting.py:51 declares this but never
+    # consumes it; accept it so reference invocations run unchanged.
+    p.add_argument("--smplx_with_smpl_init", default=True,
+                   action="store_true",
+                   help="accepted for reference-CLI compatibility (unused, "
+                        "as in the reference)")
     return p
 
 

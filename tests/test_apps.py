@@ -433,3 +433,32 @@ def test_genebody_native_openpose_wiring(genebody_dataset, tmp_path):
     # cache: a second call must not re-run detection (stub would be hit)
     runner._native_detectors = None
     runner.run_openpose(frame, data)   # returns via the JSON-count cache
+
+
+def test_reference_cli_invocations_parse():
+    """Reference-CLI drop-in: the exact flag sets the reference apps accept
+    (incl. its declared-but-unused flags, /root/reference/apps/
+    genebody_fitting.py:17-57 and rp_fitting.py:22-56) parse here too."""
+    from bodyfitting_tpu.apps import genebody, renderpeople
+
+    gb = genebody.config_parser().parse_args([
+        "--target_dir", "/data/genebody", "--annot_dir", "/data/annots",
+        "--output_dir", "./logs", "--openpose_dir", "../openpose",
+        "--info_dir", "info.csv", "--debug", "--subject", "zhuna",
+        "--load_size", "512", "--tasks", "openpose", "smplify", "output",
+        "--use_mask", "--smpl_type", "smplx", "--age", "adult",
+        "--smplx_with_smpl_init", "--use_bodyscan", "--viewnum", "8",
+        "--smpl_uv_dir", "./data/smpl_uv", "--white_bkgd",
+    ])
+    assert gb.subject == "zhuna" and gb.use_bodyscan and gb.viewnum == 8
+
+    rp = renderpeople.config_parser().parse_args([
+        "--target_dir", "/data/ours_new", "--output_dir", "./logs",
+        "--openpose_dir", "../openpose", "--info_dir", "info.csv",
+        "--debug", "--load_size", "512",
+        "--tasks", "openpose", "smplify", "smpld", "texfit", "output",
+        "--use_mask", "--smpl_type", "smpl", "--age", "adult",
+        "--smplx_with_smpl_init", "--viewnum", "8",
+        "--smpl_uv_dir", "./data/smpl_uv", "--white_bkgd",
+    ])
+    assert rp.viewnum == 8 and rp.tasks[-1] == "output"
