@@ -71,18 +71,24 @@ def bench_jax(batch_frames: int, n_views: int, iters: int):
     compile_and_first = time.perf_counter() - t0
     print(f"compile+first run: {compile_and_first:.1f}s", file=sys.stderr)
 
-    runs = 3
-    t0 = time.perf_counter()
+    runs = 5
     import dataclasses
+    walls = []
     for r in range(runs):
         # distinct inputs each run (r+1: r=0 must also differ from the
         # warmup launch — identical launches can be cache-served)
         obs_r = dataclasses.replace(
             obs, keypoints=obs.keypoints + np.float32(r + 1)
         )
+        t0 = time.perf_counter()
         _, _, losses = fit(obs_r, inits)
         losses.block_until_ready()
-    dt = (time.perf_counter() - t0) / runs
+        walls.append(time.perf_counter() - t0)
+    # median: robust to transient TPU-tunnel degradation either way
+    # (a wedge inflates a run; we must not cherry-pick the best either)
+    dt = float(np.median(walls))
+    print("run walls: " + ", ".join(f"{w:.3f}s" for w in walls),
+          file=sys.stderr)
     frame_fits_per_sec = batch_frames / dt
     print(
         f"jax: {iters}-iter fit x {batch_frames} frames x {n_views} views "
@@ -136,12 +142,55 @@ def bench_torch_baseline(n_views: int, iters: int = 6):
     return rate
 
 
+def wait_for_healthy_device(max_wait_s: float = 900.0) -> None:
+    """Gate on a responsive TPU before the long timed runs.
+
+    The TPU tunnel can wedge for minutes at a time (every device op blocks;
+    see CLAUDE.md).  Probe with a tiny matmul in a subprocess under a
+    timeout, retrying until the device answers promptly, so a transient
+    wedge delays the benchmark instead of poisoning it.  On a healthy CPU
+    fallback this passes instantly and costs nothing.
+    """
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "x = jnp.ones((256, 256)); (x @ x).block_until_ready(); "
+        "print('ok')"
+    )
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                timeout=120, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if r.returncode == 0 and b"ok" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print(
+                f"WARNING: device probe still failing after {max_wait_s:.0f}s"
+                " — benchmarking anyway", file=sys.stderr,
+            )
+            return
+        print(
+            f"device probe attempt {attempt} unresponsive; waiting 60s "
+            "(tunnel wedge?)", file=sys.stderr,
+        )
+        time.sleep(60)
+
+
 def main():
     from bodyfitting_tpu.utils.compilation_cache import (
         enable_compilation_cache,
     )
 
     enable_compilation_cache()
+    wait_for_healthy_device()
     baseline_iters = bench_torch_baseline(N_VIEWS)       # it/s, batch 1
     value, seq_wall = bench_jax(N_FRAMES, N_VIEWS, NUM_ITERS)
     baseline = baseline_iters / NUM_ITERS                # frame fits/s
