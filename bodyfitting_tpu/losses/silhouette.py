@@ -25,6 +25,19 @@ import numpy as np
 
 _BIG = 1e9
 
+# Contour->vertex nearest-match implementation for the ICP term:
+# 'xla' = broadcast [P, M] min+argmin; 'pallas' = ops.pallas_kernels.
+# contour_min_idx (VMEM-resident running minima); 'auto' = pallas on TPU.
+CONTOUR_MATCH = "auto"
+
+
+def _use_pallas_match() -> bool:
+    if CONTOUR_MATCH == "pallas":
+        return True
+    if CONTOUR_MATCH == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
 
 def extract_contours(
     masks: Sequence[np.ndarray], pad_to: int | None = None
@@ -211,18 +224,56 @@ def silhouette_loss(
         # matched-pair distances are recomputed through a small gather so
         # the backward never scatters into the [P, M] matrix.
         proj_ng = jax.lax.stop_gradient(proj)
-        d2 = jnp.sum((contour[:, None, :] - proj_ng[None, :, :]) ** 2, -1)
-        d2 = jnp.where(inside[None, :], d2, _BIG)
-        idx = jnp.argmin(d2, axis=1)                       # [P]
-        matched = proj[idx]                                # [P, 2]
+        if _use_pallas_match():
+            from bodyfitting_tpu.ops.pallas_kernels import contour_min_idx
+
+            _, idx = contour_min_idx(
+                contour, proj_ng, inside.astype(proj.dtype)
+            )                                              # [P]
+        else:
+            d2 = jnp.sum(
+                (contour[:, None, :] - proj_ng[None, :, :]) ** 2, -1
+            )
+            d2 = jnp.where(inside[None, :], d2, _BIG)
+            idx = jnp.argmin(d2, axis=1)                   # [P]
+        # matched coords / inside flags via an exact one-hot matmul:
+        # point-gathers lower to a slow per-element TPU path (this tail
+        # was most of the ICP term's 3.4 ms/iter, BENCH_NOTES.md); a
+        # single-nonzero-per-row one-hot gives identical values in any
+        # matmul precision and the same gradient (d matched / d proj is
+        # the same row-selection).
+        M = proj.shape[0]
+        onehot = (
+            idx[:, None] == jnp.arange(M, dtype=idx.dtype)[None, :]
+        ).astype(proj.dtype)                               # [P, M]
+        # HIGHEST: the MXU's default-precision operand rounding would
+        # perturb the *coordinates* themselves (~0.1px at 512); with one
+        # nonzero per row HIGHEST reproduces the gather bit-exactly.  The
+        # 0/1-valued products below are exact in any precision.
+        matched = jnp.matmul(
+            onehot, proj, precision=jax.lax.Precision.HIGHEST
+        )                                                  # [P, 2]
+        in_match = onehot @ inside.astype(proj.dtype)      # [P]
         mindist = jnp.sqrt(
             jnp.sum((contour - matched) ** 2, -1) + 1e-12
         )
-        mindist = jnp.where(inside[idx], mindist, jnp.sqrt(_BIG))
+        mindist = jnp.where(in_match > 0.5, mindist, jnp.sqrt(_BIG))
         H, W = mask.shape
-        mx = jnp.clip(matched[:, 0].astype(jnp.int32), 0, W - 1)
-        my = jnp.clip(matched[:, 1].astype(jnp.int32), 0, H - 1)
-        outside_mask = (mask[my, mx] < 0.1).astype(proj.dtype)
+        mx = jnp.clip(
+            jax.lax.stop_gradient(matched[:, 0]).astype(jnp.int32), 0, W - 1
+        )
+        my = jnp.clip(
+            jax.lax.stop_gradient(matched[:, 1]).astype(jnp.int32), 0, H - 1
+        )
+        # nearest-sample the mask at the matched pixels, also one-hot
+        rowsel = (
+            my[:, None] == jnp.arange(H, dtype=my.dtype)[None, :]
+        ).astype(mask.dtype)                               # [P, H]
+        colsel = (
+            mx[:, None] == jnp.arange(W, dtype=mx.dtype)[None, :]
+        ).astype(mask.dtype)                               # [P, W]
+        mask_at = jnp.sum((rowsel @ mask) * colsel, axis=-1)
+        outside_mask = (mask_at < 0.1).astype(proj.dtype)
         coeff = outside_mask * (epsilon - 1.0) + 1.0
         icp = jnp.sum(mindist * coeff * cvalid)
 

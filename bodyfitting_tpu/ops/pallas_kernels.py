@@ -698,6 +698,107 @@ def make_fused_skinning(
     return skin
 
 
+# ---------------------------------------------------------------------------
+# Contour -> projected-vertex 2D nearest match (silhouette ICP term)
+# ---------------------------------------------------------------------------
+#
+# The mask loss (losses/silhouette.py, reference smplify/loss.py:85-130)
+# matches every contour pixel to the nearest projected SMPL vertex each
+# iteration.  The XLA broadcast [P, M] min+argmin measured 3.4 ms/iter at
+# 8 frames x 8 views (BENCH_NOTES.md); this kernel runs the same sweep as
+# a (m-block) grid with VMEM-resident running minima — the 2D analogue of
+# ``nearest_d2_idx`` without the AABB cull (M is only ~2.6k).
+
+
+def _contour_match_kernel(c_ref, p_ref, d2_ref, idx_ref):
+    j = pl.program_id(0)
+    mb = p_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        d2_ref[:] = jnp.full_like(d2_ref, _FAR)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    cx = c_ref[:, 0:1]                                    # [P, 1]
+    cy = c_ref[:, 1:2]
+    px = p_ref[0:1, :]                                    # [1, MB]
+    py = p_ref[1:2, :]
+    big = p_ref[2:3, :]                                   # _FAR where invalid
+
+    dx = cx - px
+    dy = cy - py
+    d2 = dx * dx + dy * dy + big                          # [P, MB]
+
+    arg = jnp.argmin(d2, axis=1)                          # [P]
+    mind = jnp.min(d2, axis=1)
+    cur = d2_ref[:, 0]
+    better = mind < cur
+    d2_ref[:, 0] = jnp.where(better, mind, cur)
+    idx_ref[:, 0] = jnp.where(
+        better, j * mb + arg.astype(jnp.int32), idx_ref[:, 0]
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("point_block", "interpret")
+)
+def contour_min_idx(
+    contour: jax.Array,
+    proj: jax.Array,
+    valid: jax.Array,
+    point_block: int = 1024,
+    interpret: bool = False,
+):
+    """Nearest projected vertex for each contour pixel.
+
+    contour ``[P, 2]`` (x, y); proj ``[M, 2]``; valid ``[M]`` (boolean-ish,
+    invalid candidates never win).  Returns ``(d2 [P], idx [P] int32)`` —
+    identical to ``argmin`` over a masked ``[P, M]`` distance matrix.
+    Differentiation: none (callers stop gradients and recompute matched
+    distances through a gather, reference loss.py:240 semantics).
+    """
+    P, M = contour.shape[0], proj.shape[0]
+    mb = _cdiv(M, point_block)
+    mpad = mb * point_block - M
+    ppad = _cdiv(P, 8) * 8 - P
+
+    soa = jnp.concatenate(
+        [proj.T, jnp.where(valid > 0, 0.0, _FAR)[None, :]], axis=0
+    )                                                     # [3, M]
+    if mpad:
+        soa = jnp.concatenate(
+            [soa, jnp.full((3, mpad), _FAR, soa.dtype)], axis=1
+        )
+    cpad = contour
+    if ppad:
+        cpad = jnp.concatenate(
+            [contour, jnp.zeros((ppad, 2), contour.dtype)]
+        )
+
+    d2, idx = pl.pallas_call(
+        _contour_match_kernel,
+        grid=(mb,),
+        in_specs=[
+            pl.BlockSpec((P + ppad, 2), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, point_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((P + ppad, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P + ppad, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P + ppad, 1), contour.dtype),
+            jax.ShapeDtypeStruct((P + ppad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cpad, soa)
+    return d2[:P, 0], idx[:P, 0]
+
+
 def skinning_xla(weights: jax.Array, A12: jax.Array,
                  v_posed: jax.Array) -> jax.Array:
     """Pure-XLA reference skinning (what lbs() does without the kernel)."""

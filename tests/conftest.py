@@ -22,6 +22,16 @@ import jax  # noqa: E402
 # array op) reliably pins tests to the 8-device virtual CPU platform.
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is compile-bound (tiny shapes, many distinct programs — the
+# renderpeople e2e test alone compiled for ~12 min); the persistent cache
+# makes recompiles once-per-machine.  CPU compiles hit the local cache
+# (unlike the tunneled-TPU path, see utils/compilation_cache.py).
+from bodyfitting_tpu.utils.compilation_cache import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,5 +1,6 @@
 """Pallas kernels vs the pure-XLA reference paths (interpret mode on CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -75,3 +76,63 @@ def test_raster_pallas_behind_camera(rng):
         px, fz, image_size=32, pixel_tile=128, face_block=8, interpret=True
     )
     assert (np.asarray(out.face_idx) == -1).all()
+
+
+def test_contour_min_idx_matches_xla(rng):
+    P, M = 37, 300
+    contour = jnp.asarray(
+        rng.uniform(0, 512, size=(P, 2)).astype(np.float32)
+    )
+    proj = jnp.asarray(rng.uniform(0, 512, size=(M, 2)).astype(np.float32))
+    valid = jnp.asarray((rng.uniform(size=(M,)) > 0.3).astype(np.float32))
+
+    d2_ref = jnp.sum(
+        (contour[:, None, :] - proj[None, :, :]) ** 2, -1
+    )
+    d2_ref = jnp.where(valid[None, :] > 0, d2_ref, 1e30)
+    idx_ref = jnp.argmin(d2_ref, axis=1)
+
+    d2, idx = pk.contour_min_idx(
+        contour, proj, valid, point_block=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_allclose(
+        np.asarray(d2), np.asarray(jnp.min(d2_ref, axis=1)), rtol=1e-6
+    )
+
+
+def test_contour_min_idx_all_invalid(rng):
+    contour = jnp.asarray(rng.uniform(0, 64, size=(9, 2)).astype(np.float32))
+    proj = jnp.asarray(rng.uniform(0, 64, size=(17, 2)).astype(np.float32))
+    valid = jnp.zeros((17,))
+    d2, idx = pk.contour_min_idx(
+        contour, proj, valid, point_block=128, interpret=True
+    )
+    assert (np.asarray(d2) >= 1e29).all()
+
+
+def test_contour_min_idx_vmapped(rng):
+    N, P, M = 3, 16, 70
+    contour = jnp.asarray(
+        rng.uniform(0, 512, size=(N, P, 2)).astype(np.float32)
+    )
+    proj = jnp.asarray(
+        rng.uniform(0, 512, size=(N, M, 2)).astype(np.float32)
+    )
+    valid = jnp.asarray(
+        (rng.uniform(size=(N, M)) > 0.2).astype(np.float32)
+    )
+    f = jax.vmap(
+        lambda c, p, v: pk.contour_min_idx(
+            c, p, v, point_block=128, interpret=True
+        )
+    )
+    d2, idx = f(contour, proj, valid)
+    for i in range(N):
+        d2r = jnp.sum(
+            (contour[i][:, None, :] - proj[i][None, :, :]) ** 2, -1
+        )
+        d2r = jnp.where(valid[i][None, :] > 0, d2r, 1e30)
+        np.testing.assert_array_equal(
+            np.asarray(idx[i]), np.asarray(jnp.argmin(d2r, axis=1))
+        )

@@ -25,26 +25,34 @@ def sphere_mesh(rng=None):
     )
 
 
-def test_distance_volume_matches_exact(sphere_mesh, rng):
+@pytest.fixture(scope="module")
+def sphere_vol(sphere_mesh):
+    """One shared 48^3 volume: the build dominates these tests' wall
+    (every test used to build its own 64^3 volume; sharing one cut the
+    file from ~17 min to a fraction)."""
     verts, faces = sphere_mesh
-    vol = sdf.build_distance_volume(verts, faces, resolution=64)
+    return sdf.build_distance_volume(verts, faces, resolution=48)
+
+
+def test_distance_volume_matches_exact(sphere_mesh, sphere_vol, rng):
+    verts, faces = sphere_mesh
+    vol = sphere_vol
     q = jnp.asarray(
         rng.uniform(-1.1, 1.1, size=(200, 3)).astype(np.float32)
     )
     approx = np.asarray(sdf.query_distance(vol, q))
     _, _, d2 = nearest_point_on_mesh(q, verts, faces)
     exact = np.sqrt(np.asarray(d2))
-    # accuracy bounded by the cell size (~2.6/63 ~ 0.04)
-    assert np.abs(approx - exact).max() < 0.06
-    assert np.abs(approx - exact).mean() < 0.015
+    # accuracy bounded by the cell size (~2.6/47 ~ 0.055)
+    assert np.abs(approx - exact).max() < 0.08
+    assert np.abs(approx - exact).mean() < 0.02
 
 
-def test_separable_query_matches_gather_query(sphere_mesh, rng):
+def test_separable_query_matches_gather_query(sphere_vol, rng):
     """The MXU separable trilinear query must be f32-exact against the
     8-tap gather oracle, values and point-gradients, including points
     outside the volume (clipped identically)."""
-    verts, faces = sphere_mesh
-    vol = sdf.build_distance_volume(verts, faces, resolution=48)
+    vol = sphere_vol
     pts = jnp.asarray(rng.uniform(-2.0, 2.0, size=(500, 3)), jnp.float32)
     a = np.asarray(sdf._query_distance_gather(vol, pts))
     b = np.asarray(sdf.query_distance(vol, pts))
@@ -63,9 +71,8 @@ def test_separable_query_matches_gather_query(sphere_mesh, rng):
     np.testing.assert_array_equal(fid, expect)
 
 
-def test_distance_gradient_points_to_surface(sphere_mesh):
-    verts, faces = sphere_mesh
-    vol = sdf.build_distance_volume(verts, faces, resolution=64)
+def test_distance_gradient_points_to_surface(sphere_vol):
+    vol = sphere_vol
     # outside the unit sphere, the distance gradient points radially out
     # points must lie inside the padded volume (extends to ~1.3)
     q = jnp.asarray([[0.0, 0.0, 1.25], [1.2, 0.0, 0.0]])
@@ -77,9 +84,9 @@ def test_distance_gradient_points_to_surface(sphere_mesh):
     np.testing.assert_allclose(np.linalg.norm(g, axis=1), 1.0, atol=1e-3)
 
 
-def test_nearest_face_volume(sphere_mesh):
+def test_nearest_face_volume(sphere_mesh, sphere_vol):
     verts, faces = sphere_mesh
-    vol = sdf.build_distance_volume(verts, faces, resolution=64)
+    vol = sphere_vol
     q = jnp.asarray([[0.0, 0.0, 1.2]])
     fid = int(sdf.query_nearest_face(vol, q)[0])
     # the reported face should be near the +z pole
