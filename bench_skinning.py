@@ -22,23 +22,27 @@ from bodyfitting_tpu.ops.pallas_kernels import make_fused_skinning, skinning_xla
 
 
 def timed_scan(step_fn, A, vp, runs=50):
-    """Run ``step_fn(A + r*1e-6, vp) -> scalar`` for r=1..runs in one scan."""
-
-    def body(carry, r):
-        return carry + step_fn(A + r * 1e-6, vp), None
+    """Run ``step_fn(A + (r+s)*1e-6, vp) -> scalar`` for r=1..runs in one
+    scan.  Each timed launch uses a fresh seed and fetches the result to
+    host: over the tunnel, repeated identical (program, input) launches
+    can be served from a cache — even across processes — and
+    ``block_until_ready`` can return before execution finishes
+    (CLAUDE.md)."""
 
     f = jax.jit(
-        lambda a, v: jax.lax.scan(
-            lambda c, r: (c + step_fn(a + r * 1e-6, v), None),
+        lambda s, a, v: jax.lax.scan(
+            lambda c, r: (c + step_fn(a + (r + s) * 1e-6, v), None),
             jnp.zeros(()), jnp.arange(1.0, runs + 1.0),
         )[0]
     )
-    out = f(A, vp)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    out = f(A, vp)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / runs
+    float(f(jnp.full((), 1e3), A, vp))
+    float(f(jnp.full((), 2e3), A, vp))
+    walls = []
+    for s in (3e3, 4e3, 5e3):
+        t0 = time.perf_counter()
+        float(f(jnp.full((), s), A, vp))
+        walls.append(time.perf_counter() - t0)
+    return float(np.median(walls)) / runs
 
 
 def main(V=10475, J=55, B=128):

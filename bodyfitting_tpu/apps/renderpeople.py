@@ -61,6 +61,11 @@ def config_parser():
                    help="inpaint unseen UV regions after texture fitting")
     p.add_argument("--lbam_checkpoint", type=str, default=None,
                    help="LBAM weights; diffusion inpainting when absent")
+    p.add_argument("--disp_map", default=False, action="store_true",
+                   help="also bake the SMPL+D displacement field into a "
+                        "UV map (texfit/smpl_dis.png) — the output the "
+                        "reference declares but ships disabled "
+                        "(texture_fitting.py:303-307)")
     p.add_argument("--prep_scans", default=False, action="store_true",
                    help="normalise scans in place first: insert missing "
                         "MTL references (reference mtl_check)")
@@ -278,6 +283,20 @@ class Runner:
             verts, np.asarray(self.model.faces), uvs,
             face_uvs, texture=img,
         )
+        if self.args.disp_map and "displacement" in result:
+            # the reference declares this output but ships it disabled
+            # (texture_fitting.py:303-307); here it works, opt-in
+            import jax.numpy as jnp
+
+            dis_map, dis_cov = texfit.bake_displacement_map(
+                jnp.asarray(smpl_face_uvs),
+                jnp.asarray(np.asarray(self.model.faces)),
+                jnp.asarray(result["displacement"]), cfg.tex_img_size,
+            )
+            imageio.imwrite(
+                os.path.join(out_dir, "smpl_dis.png"),
+                texfit.displacement_map_to8b(dis_map, dis_cov),
+            )
         if self.args.debug:
             scan_face_uvs2 = scan.uvs[scan.face_uvs]
             texfit.render_compare(

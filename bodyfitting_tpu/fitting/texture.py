@@ -355,6 +355,51 @@ def atlas_coverage_mask(
     return rz.render_silhouette(raster)
 
 
+def bake_displacement_map(
+    face_uvs: jnp.ndarray,
+    faces: jnp.ndarray,
+    displacement: jnp.ndarray,
+    tex_img_size: int,
+    face_block: int = 256,
+):
+    """Bake per-vertex SMPL+D displacements into a UV-space map.
+
+    Working implementation of the capability the reference ships disabled
+    (texture_fitting.py:303-307 commented out; renderer.py:349-447
+    ``render_displacement`` is unreachable dead code): rasterize the UV
+    triangles in atlas space and barycentric-interpolate the per-vertex
+    displacement vectors.
+
+    Args:
+      face_uvs: ``[F, 3, 2]`` per-corner UVs (v up).
+      faces: ``[F, 3]`` vertex ids.
+      displacement: ``[V, 3]`` per-vertex offsets (smpl+d minus smpl).
+    Returns:
+      ``(map [S, S, 3] float signed displacements, coverage [S, S])``.
+    """
+    S = tex_img_size
+    px = jnp.stack(
+        [face_uvs[..., 0] * (S - 1), (1.0 - face_uvs[..., 1]) * (S - 1)],
+        axis=-1,
+    )
+    fz = jnp.ones(face_uvs.shape[:2])
+    raster = rz.rasterize(px, fz, S, face_block=face_block)
+    corner_disp = displacement[faces]                      # [F, 3, 3]
+    dis_map = rz.render_attributes(raster, corner_disp)
+    return dis_map, rz.render_silhouette(raster)
+
+
+def displacement_map_to8b(dis_map: np.ndarray, coverage: np.ndarray):
+    """Signed displacement map -> uint8 image (0.5 = zero displacement,
+    +-3 sigma full scale; the reference's to8b path was never finished —
+    its dead code stops after computing the per-channel std)."""
+    dis = np.asarray(dis_map, np.float32)
+    cov = np.asarray(coverage) > 0.5
+    std = dis[cov].reshape(-1, 3).std(0) + 1e-9 if cov.any() else 1.0
+    img = 0.5 + dis / (6.0 * std)
+    return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+
+
 def fill_texture_holes(
     texture: np.ndarray, coverage: np.ndarray, iterations: int = 1
 ) -> np.ndarray:

@@ -366,6 +366,7 @@ def test_renderpeople_app_end_to_end(tmp_path):
         "--tex_iters", "6",
         "--smpl_uv_dir", str(uv_dir),
         "--synthetic_num_verts", "64",
+        "--disp_map",
     ])
     runner = renderpeople.Runner(args)
     assert runner.subjects == ["subjectA"]
@@ -387,6 +388,9 @@ def test_renderpeople_app_end_to_end(tmp_path):
     assert "displacement" in d          # reference smplify.py:247 contract
     assert np.isfinite(d["displacement"]).all()
     assert (out_dir / "subjectA" / "texfit" / "smpl.png").exists()
+    # --disp_map bakes the SMPL+D field into UV space (the output the
+    # reference declares but ships disabled, texture_fitting.py:303-307)
+    assert (out_dir / "subjectA" / "texfit" / "smpl_dis.png").exists()
     assert (out_dir / "SMPL" / "subjectA.obj").exists()
 
 

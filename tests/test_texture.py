@@ -111,3 +111,66 @@ def test_render_compare(tmp_path):
     import os
 
     assert os.path.exists(str(tmp_path / "0000.png"))
+
+
+def test_bake_displacement_map_constant_field():
+    """A constant displacement bakes to that constant on covered texels
+    (barycentric interpolation of equal corners is exact)."""
+    import jax.numpy as jnp
+
+    from bodyfitting_tpu.fitting import texture as texfit
+
+    # two UV triangles covering the lower-left atlas corner
+    uvs = np.array(
+        [[0.05, 0.05], [0.6, 0.05], [0.05, 0.6], [0.6, 0.6]], np.float32
+    )
+    face_uvs_idx = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    disp = np.tile(np.array([[0.5, -0.25, 0.125]], np.float32), (4, 1))
+
+    dis_map, cov = texfit.bake_displacement_map(
+        jnp.asarray(uvs[face_uvs_idx]), jnp.asarray(faces),
+        jnp.asarray(disp), tex_img_size=64,
+    )
+    cov = np.asarray(cov) > 0.5
+    assert cov.sum() > 100
+    dm = np.asarray(dis_map)
+    np.testing.assert_allclose(
+        dm[cov], np.broadcast_to(disp[0], (cov.sum(), 3)), atol=1e-5
+    )
+    assert np.abs(dm[~cov]).max() == 0.0
+
+    img = texfit.displacement_map_to8b(dis_map, cov)
+    assert img.dtype == np.uint8 and img.shape == (64, 64, 3)
+
+
+def test_bake_displacement_map_interpolates():
+    """A linear-in-uv displacement field is reproduced exactly by
+    barycentric interpolation (linear functions are interpolated
+    exactly)."""
+    import jax.numpy as jnp
+
+    from bodyfitting_tpu.fitting import texture as texfit
+
+    uvs = np.array(
+        [[0.1, 0.1], [0.9, 0.1], [0.1, 0.9]], np.float32
+    )
+    face_uvs_idx = np.array([[0, 1, 2]], np.int32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    # displacement x-component equals the vertex's u coordinate
+    disp = np.stack(
+        [uvs[:, 0], np.zeros(3, np.float32), np.zeros(3, np.float32)], 1
+    )
+
+    S = 128
+    dis_map, cov = texfit.bake_displacement_map(
+        jnp.asarray(uvs[face_uvs_idx]), jnp.asarray(faces),
+        jnp.asarray(disp), tex_img_size=S,
+    )
+    cov = np.asarray(cov) > 0.5
+    dm = np.asarray(dis_map)
+    # covered texel (r, c): u = c / (S-1) by the atlas mapping
+    rr, cc = np.nonzero(cov)
+    np.testing.assert_allclose(
+        dm[rr, cc, 0], cc / (S - 1.0), atol=1.5e-2
+    )
