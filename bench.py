@@ -74,15 +74,21 @@ def bench_jax(batch_frames: int, n_views: int, iters: int):
     runs = 5
     import dataclasses
     walls = []
+    # per-process-unique offset: fixed seeds would replay byte-identical
+    # launches across processes, which the tunnel can serve from its
+    # execution cache (CLAUDE.md)
+    salt = np.float32((time.time() % 997.0) + 1.0)
     for r in range(runs):
-        # distinct inputs each run (r+1: r=0 must also differ from the
-        # warmup launch — identical launches can be cache-served)
+        # distinct inputs each run (salt+r: every launch, including vs
+        # the warmup, must differ — identical launches can be cache-served)
         obs_r = dataclasses.replace(
-            obs, keypoints=obs.keypoints + np.float32(r + 1)
+            obs, keypoints=obs.keypoints + salt + np.float32(r)
         )
         t0 = time.perf_counter()
         _, _, losses = fit(obs_r, inits)
-        losses.block_until_ready()
+        # fetch to host: over the tunnel block_until_ready can return
+        # before execution completes (CLAUDE.md)
+        float(losses.sum())
         walls.append(time.perf_counter() - t0)
     # median: robust to transient TPU-tunnel degradation either way
     # (a wedge inflates a run; we must not cherry-pick the best either)

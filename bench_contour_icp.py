@@ -33,12 +33,15 @@ def timed_scan(step_fn, *args, runs=50):
     # the tunnel block_until_ready can return before execution finishes,
     # and repeated identical launches can be served from a cache, so each
     # timed launch uses a fresh seed and syncs via host transfer
-    float(f(jnp.full((), 0.25), *args))
-    float(f(jnp.full((), 0.5), *args))
+    # per-process-unique seeds: fixed ones replay byte-identical launches
+    # across processes, which the tunnel's execution cache can serve
+    salt = time.time() % 997.0
+    float(f(jnp.full((), salt + 0.25), *args))
+    float(f(jnp.full((), salt + 0.5), *args))
     walls = []
     for s in range(1, 4):
         t0 = time.perf_counter()
-        float(f(jnp.full((), float(s)), *args))
+        float(f(jnp.full((), salt + float(s)), *args))
         walls.append(time.perf_counter() - t0)
     return float(np.median(walls)) / runs
 

@@ -35,12 +35,15 @@ def timed_scan(step_fn, A, vp, runs=50):
             jnp.zeros(()), jnp.arange(1.0, runs + 1.0),
         )[0]
     )
-    float(f(jnp.full((), 1e3), A, vp))
-    float(f(jnp.full((), 2e3), A, vp))
+    # per-process-unique seeds: fixed ones replay byte-identical launches
+    # across processes, which the tunnel's execution cache can serve
+    salt = (time.time() % 997.0) * 1e3
+    float(f(jnp.full((), salt + 1e3), A, vp))
+    float(f(jnp.full((), salt + 2e3), A, vp))
     walls = []
     for s in (3e3, 4e3, 5e3):
         t0 = time.perf_counter()
-        float(f(jnp.full((), s), A, vp))
+        float(f(jnp.full((), salt + s), A, vp))
         walls.append(time.perf_counter() - t0)
     return float(np.median(walls)) / runs
 

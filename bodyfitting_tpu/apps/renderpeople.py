@@ -251,9 +251,14 @@ class Runner:
             verts, np.asarray(self.model.faces), smpl_face_uvs,
             scan.verts, scan.faces, scan_face_uvs, scan.texture, cfg,
         )
-        coverage = np.asarray(
-            texfit.atlas_coverage_mask(smpl_face_uvs, cfg.tex_img_size)
+        import jax.numpy as jnp
+
+        uv_raster = texfit.rasterize_uv_atlas(
+            jnp.asarray(smpl_face_uvs), cfg.tex_img_size
         )
+        from bodyfitting_tpu.ops.rasterize import render_silhouette
+
+        coverage = np.asarray(render_silhouette(uv_raster))
         img = texfit.fill_texture_holes(np.asarray(tex), coverage)
         if self.args.inpaint:
             # unseen texels remain near the grey init (reference
@@ -286,12 +291,11 @@ class Runner:
         if self.args.disp_map and "displacement" in result:
             # the reference declares this output but ships it disabled
             # (texture_fitting.py:303-307); here it works, opt-in
-            import jax.numpy as jnp
-
             dis_map, dis_cov = texfit.bake_displacement_map(
                 jnp.asarray(smpl_face_uvs),
                 jnp.asarray(np.asarray(self.model.faces)),
                 jnp.asarray(result["displacement"]), cfg.tex_img_size,
+                raster=uv_raster,
             )
             imageio.imwrite(
                 os.path.join(out_dir, "smpl_dis.png"),

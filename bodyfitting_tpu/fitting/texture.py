@@ -344,15 +344,23 @@ def atlas_coverage_mask(
     The UV-space analogue of the reference's render_texture depth-validity
     mask (texture_fitting.py:154-156).
     """
+    raster = rasterize_uv_atlas(face_uvs, tex_img_size, face_block)
+    return rz.render_silhouette(raster)
+
+
+def rasterize_uv_atlas(
+    face_uvs: jnp.ndarray, tex_img_size: int, face_block: int = 256
+):
+    """Rasterize UV triangles in atlas space (UV v-up -> texel row 0 =
+    top, same mapping as ``sample_texture``).  Shared by the coverage
+    mask and displacement baking so callers rasterize the atlas once."""
     S = tex_img_size
-    # UV (v up) -> texel coords (row 0 = top): same mapping as sample_texture
     px = jnp.stack(
         [face_uvs[..., 0] * (S - 1), (1.0 - face_uvs[..., 1]) * (S - 1)],
         axis=-1,
     )
     fz = jnp.ones(face_uvs.shape[:2])
-    raster = rz.rasterize(px, fz, S, face_block=face_block)
-    return rz.render_silhouette(raster)
+    return rz.rasterize(px, fz, S, face_block=face_block)
 
 
 def bake_displacement_map(
@@ -361,6 +369,7 @@ def bake_displacement_map(
     displacement: jnp.ndarray,
     tex_img_size: int,
     face_block: int = 256,
+    raster=None,
 ):
     """Bake per-vertex SMPL+D displacements into a UV-space map.
 
@@ -374,29 +383,31 @@ def bake_displacement_map(
       face_uvs: ``[F, 3, 2]`` per-corner UVs (v up).
       faces: ``[F, 3]`` vertex ids.
       displacement: ``[V, 3]`` per-vertex offsets (smpl+d minus smpl).
+      raster: optional precomputed :func:`rasterize_uv_atlas` output.
     Returns:
       ``(map [S, S, 3] float signed displacements, coverage [S, S])``.
     """
-    S = tex_img_size
-    px = jnp.stack(
-        [face_uvs[..., 0] * (S - 1), (1.0 - face_uvs[..., 1]) * (S - 1)],
-        axis=-1,
-    )
-    fz = jnp.ones(face_uvs.shape[:2])
-    raster = rz.rasterize(px, fz, S, face_block=face_block)
+    if raster is None:
+        raster = rasterize_uv_atlas(face_uvs, tex_img_size, face_block)
     corner_disp = displacement[faces]                      # [F, 3, 3]
     dis_map = rz.render_attributes(raster, corner_disp)
     return dis_map, rz.render_silhouette(raster)
 
 
 def displacement_map_to8b(dis_map: np.ndarray, coverage: np.ndarray):
-    """Signed displacement map -> uint8 image (0.5 = zero displacement,
-    +-3 sigma full scale; the reference's to8b path was never finished —
-    its dead code stops after computing the per-channel std)."""
+    """Signed displacement map -> uint8 image, 0.5 = zero displacement.
+
+    Scaled by the RMS displacement *about zero* (not std about the mean:
+    a constant or non-zero-mean field must land mid-range, not saturate;
+    the reference's to8b path was never finished — its dead code stops
+    after computing a per-channel std)."""
     dis = np.asarray(dis_map, np.float32)
     cov = np.asarray(coverage) > 0.5
-    std = dis[cov].reshape(-1, 3).std(0) + 1e-9 if cov.any() else 1.0
-    img = 0.5 + dis / (6.0 * std)
+    if cov.any():
+        rms = np.sqrt((dis[cov].reshape(-1, 3) ** 2).mean(0)) + 1e-9
+    else:
+        rms = np.ones(3, np.float32)
+    img = 0.5 + dis / (6.0 * rms)
     return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
 
 

@@ -28,6 +28,9 @@ _BIG = 1e9
 # Contour->vertex nearest-match implementation for the ICP term:
 # 'xla' = broadcast [P, M] min+argmin; 'pallas' = ops.pallas_kernels.
 # contour_min_idx (VMEM-resident running minima); 'auto' = pallas on TPU.
+# Read at TRACE time: set it before the first jit of a fit — already-
+# compiled programs keep whichever impl they were traced with (both
+# produce identical values, so this only matters for benchmarking).
 CONTOUR_MATCH = "auto"
 
 

@@ -142,6 +142,13 @@ def test_bake_displacement_map_constant_field():
 
     img = texfit.displacement_map_to8b(dis_map, cov)
     assert img.dtype == np.uint8 and img.shape == (64, 64, 3)
+    # RMS-about-zero scaling: a constant field c maps to 0.5 + sign/6
+    # (rms == |c|) => ~127 +- 42, mid-range and signed — a std-about-the-
+    # mean scale would saturate it to 0/255
+    mid = img[cov].reshape(-1, 3).astype(np.int32)
+    assert (np.abs(np.abs(mid - 127) - 42) <= 4).all()
+    assert (mid[:, 0] > 127).all()      # +0.5 displacement
+    assert (mid[:, 1] < 127).all()      # -0.25 displacement
 
 
 def test_bake_displacement_map_interpolates():
