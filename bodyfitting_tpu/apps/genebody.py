@@ -218,6 +218,19 @@ class Runner:
 
         import cv2
 
+        # HMR consumes exactly one view's image (the keyframe,
+        # genebody_fitting.py:167); don't let an --hmr_checkpoint force
+        # 48 JPEG decodes per frame.  If the keyframe view drops out at
+        # runtime (empty mask/black frame) hmr_init falls back to the
+        # mean-parameter init.
+        hmr_view = None
+        if self.hmr is not None:
+            hmr_view = (
+                constants.GENEBODY_KEYFRAME
+                if constants.GENEBODY_KEYFRAME in self.views
+                else self.views[0]
+            )
+
         def load_view(i, view):
             """Read + crop one view (IO/decode-bound; runs threaded —
             the reference reads its 48 views serially,
@@ -245,7 +258,7 @@ class Runner:
             json_cached = os.path.exists(
                 os.path.join(op_dir, "%02d_keypoints.json" % view)
             )
-            if not json_cached or self.hmr is not None or self.args.debug:
+            if not json_cached or view == hmr_view or self.args.debug:
                 img = cv2.imread(os.path.join(
                     self.target_dir, "image", "%02d" % view,
                     imgnames[frame_idx]
