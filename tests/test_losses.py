@@ -295,3 +295,66 @@ def test_resample_contours_short_contour_passthrough():
     rc, rw = losses.resample_contours(contours, valid, 512)
     assert (rw > 0).sum() == n            # kept verbatim, weight 1
     np.testing.assert_allclose(rc[0, :n], contours[0, :n])
+
+
+def test_silhouette_onehot_tail_matches_gather_oracle(rng):
+    """The one-hot matmul tail (matched coords / inside flags / mask
+    sample) must reproduce the naive gather transcription of the
+    reference loss exactly — values AND gradients."""
+    import jax
+
+    from bodyfitting_tpu.losses import silhouette as sil
+    from bodyfitting_tpu.ops.camera import perspective_projection
+
+    Vm, P, H = 2, 40, 64
+    contours = jnp.asarray(rng.uniform(0, H, size=(Vm, P, 2)), np.float32)
+    cvalid = jnp.asarray((rng.uniform(size=(Vm, P)) > 0.2).astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(Vm, H, H)) > 0.5).astype(np.float32))
+    K = jnp.asarray([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]])
+    Ks = jnp.broadcast_to(K, (Vm, 3, 3))
+    w2c = jnp.eye(4).at[2, 3].set(3.0)
+    w2cs = jnp.broadcast_to(w2c, (Vm, 4, 4))
+    verts = jnp.asarray(rng.normal(size=(200, 3)) * 0.5, np.float32)
+
+    def loss(v):
+        return sil.silhouette_loss(
+            contours, cvalid, masks, w2cs, Ks, v, imsize=float(H)
+        )
+
+    def naive(v):
+        pts3d = v[::4]
+        total = 0.0
+        eps = 10.0
+        for i in range(Vm):
+            proj = perspective_projection(
+                pts3d[None], w2cs[i][None, :3, :3], w2cs[i][None, :3, 3],
+                Ks[i][None],
+            )[0]
+            inside = (
+                (proj[:, 0] >= 0) & (proj[:, 0] < H)
+                & (proj[:, 1] >= 0) & (proj[:, 1] < H)
+            )
+            png = jax.lax.stop_gradient(proj)
+            d2 = jnp.sum((contours[i][:, None, :] - png[None, :, :]) ** 2, -1)
+            idx = jnp.argmin(jnp.where(inside[None, :], d2, 1e9), 1)
+            matched = proj[idx]
+            md = jnp.sqrt(jnp.sum((contours[i] - matched) ** 2, -1) + 1e-12)
+            md = jnp.where(inside[idx], md, jnp.sqrt(1e9))
+            mx = jnp.clip(matched[:, 0].astype(jnp.int32), 0, H - 1)
+            my = jnp.clip(matched[:, 1].astype(jnp.int32), 0, H - 1)
+            om = (masks[i][my, mx] < 0.1).astype(jnp.float32)
+            total = total + jnp.sum(md * (om * (eps - 1) + 1) * cvalid[i])
+            rw, cw = sil._separable_bilinear_weights(
+                masks[i].shape, proj, proj.dtype
+            )
+            sampled = jnp.sum((rw @ masks[i]) * cw, -1)
+            cov = jnp.sum(rw, -1) * jnp.sum(cw, -1)
+            total = total + jnp.sum(cov - sampled) * eps
+        return total
+
+    l, g = jax.value_and_grad(loss)(verts)
+    ln, gn = jax.value_and_grad(naive)(verts)
+    np.testing.assert_allclose(float(l), float(ln), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(gn), rtol=1e-5, atol=1e-6
+    )
