@@ -84,6 +84,8 @@ def _obs(model, rng, n_views=4, n_frames=1, use_mask=False, scan=None):
 
 
 def _time_fit(model, config, obs, init, prior, batched, iters, label):
+    import dataclasses
+
     from bodyfitting_tpu.fitting import smplify
 
     if batched:
@@ -94,16 +96,22 @@ def _time_fit(model, config, obs, init, prior, batched, iters, label):
         fit = jax.jit(
             lambda o, i: smplify.fit(model, config, o, i, prior)
         )
-    t0 = time.perf_counter()
-    _, _, losses = fit(obs, init)
-    losses.block_until_ready()
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    runs = 3
-    for _ in range(runs):
-        _, _, losses = fit(obs, init)
-        losses.block_until_ready()
-    dt = (time.perf_counter() - t0) / runs
+    # every launch gets fresh inputs and fetches the result: identical
+    # (program, input) launches can be served from the tunnel's execution
+    # cache — even across processes — and block_until_ready alone can
+    # return early (CLAUDE.md)
+    salt = np.float32((time.time() % 997.0) + 1.0)
+
+    def run(off):
+        o = dataclasses.replace(obs, keypoints=obs.keypoints + off)
+        t0 = time.perf_counter()
+        _, _, losses = fit(o, init)
+        float(losses.sum())
+        return time.perf_counter() - t0
+
+    compile_s = run(salt)
+    walls = [run(salt + 1 + r) for r in range(3)]
+    dt = float(np.median(walls))
     n_frames = losses.shape[0] if batched else 1
     print(
         f"{label}: {iters} iters x {n_frames} frames in {dt * 1e3:.0f}ms "
@@ -187,18 +195,23 @@ def main():
         lambda x: jnp.broadcast_to(x, (B5,) + x.shape),
         smplify.FitParams.init(smplx),
     )
+    import dataclasses
+
     fit5 = jax.jit(
         lambda o, i: seqmod.fit_sequence(smplx, cfg, o, i, prior)
     )
-    t0 = time.perf_counter()
-    _, _, losses = fit5(obs5, init5)
-    losses.block_until_ready()
+    salt5 = np.float32((time.time() % 997.0) + 1.0)
+
+    def run5(off):
+        o = dataclasses.replace(obs5, keypoints=obs5.keypoints + off)
+        t0 = time.perf_counter()
+        _, _, losses = fit5(o, init5)
+        float(losses.sum())
+        return time.perf_counter() - t0
+
     print(f"config5 150-frame smplx sequence (temporal): compile+run "
-          f"{time.perf_counter() - t0:.0f}s")
-    t0 = time.perf_counter()
-    _, _, losses = fit5(obs5, init5)
-    losses.block_until_ready()
-    dt = time.perf_counter() - t0
+          f"{run5(salt5):.0f}s")
+    dt = float(np.median([run5(salt5 + 1 + r) for r in range(3)]))
     print(
         f"config5: {iters} iters x 150 frames in {dt * 1e3:.0f}ms "
         f"({150 * iters / dt / 600:.1f} 600-iter fits/s/chip)"

@@ -58,7 +58,7 @@ def timed_fit(model, config, obs, inits, prior, iters):
     return float(np.median(walls)) / iters
 
 
-def main(B=150, iters=100):
+def main(B=150, iters=100, only=None):
     rng = np.random.default_rng(0)
     model = bm.synthetic_model("smplx", num_verts=10475, seed=0)
     prior = synthetic_gmm_prior()
@@ -80,9 +80,13 @@ def main(B=150, iters=100):
         ), make_obs(B, 48, rng), prior),
     ]
     for name, config, obs, pr in variants:
+        if only and only not in name:
+            continue
         dt = timed_fit(model, config, obs, inits, pr, iters)
         print(f"{name:>14}: {dt*1e3:8.3f} ms/iter (B={B})", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main()
+    # pass a substring to run a single variant (tunnel windows are short):
+    #   python bench_fit_ablation.py "1 view"
+    main(only=sys.argv[1] if len(sys.argv) > 1 else None)
