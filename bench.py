@@ -64,36 +64,21 @@ def bench_jax(batch_frames: int, n_views: int, iters: int):
     fit = jax.jit(
         jax.vmap(lambda o, i: smplify.fit(model, config, o, i, prior))
     )
-    # warmup/compile
-    t0 = time.perf_counter()
-    _, _, losses = fit(obs, inits)
-    losses.block_until_ready()
-    compile_and_first = time.perf_counter() - t0
-    print(f"compile+first run: {compile_and_first:.1f}s", file=sys.stderr)
-
-    runs = 5
     import dataclasses
-    walls = []
-    # per-process-unique offset: fixed seeds would replay byte-identical
-    # launches across processes, which the tunnel can serve from its
-    # execution cache (CLAUDE.md)
-    salt = np.float32((time.time() % 997.0) + 1.0)
-    for r in range(runs):
-        # distinct inputs each run (salt+r: every launch, including vs
-        # the warmup, must differ — identical launches can be cache-served)
-        obs_r = dataclasses.replace(
-            obs, keypoints=obs.keypoints + salt + np.float32(r)
-        )
-        t0 = time.perf_counter()
+
+    from bench_common import timed_launches
+
+    def run(off):
+        obs_r = dataclasses.replace(obs, keypoints=obs.keypoints + off)
         _, _, losses = fit(obs_r, inits)
-        # fetch to host: over the tunnel block_until_ready can return
-        # before execution completes (CLAUDE.md)
         float(losses.sum())
-        walls.append(time.perf_counter() - t0)
-    # median: robust to transient TPU-tunnel degradation either way
-    # (a wedge inflates a run; we must not cherry-pick the best either)
-    dt = float(np.median(walls))
-    print("run walls: " + ", ".join(f"{w:.3f}s" for w in walls),
+
+    # tunnel-safe protocol (salted fresh inputs per launch, host fetch,
+    # median) lives in bench_common.timed_launches
+    res = timed_launches(run, warmups=1, runs=5)
+    print(f"compile+first run: {res.first:.1f}s", file=sys.stderr)
+    dt = res.median
+    print("run walls: " + ", ".join(f"{w:.3f}s" for w in res.walls),
           file=sys.stderr)
     frame_fits_per_sec = batch_frames / dt
     print(

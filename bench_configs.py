@@ -96,23 +96,16 @@ def _time_fit(model, config, obs, init, prior, batched, iters, label):
         fit = jax.jit(
             lambda o, i: smplify.fit(model, config, o, i, prior)
         )
-    # every launch gets fresh inputs and fetches the result: identical
-    # (program, input) launches can be served from the tunnel's execution
-    # cache — even across processes — and block_until_ready alone can
-    # return early (CLAUDE.md)
-    salt = np.float32((time.time() % 997.0) + 1.0)
+    from bench_common import timed_launches
 
     def run(off):
         o = dataclasses.replace(obs, keypoints=obs.keypoints + off)
-        t0 = time.perf_counter()
         _, _, losses = fit(o, init)
         float(losses.sum())
-        return time.perf_counter() - t0
 
-    compile_s = run(salt)
-    walls = [run(salt + 1 + r) for r in range(3)]
-    dt = float(np.median(walls))
-    n_frames = losses.shape[0] if batched else 1
+    res = timed_launches(run, warmups=1)
+    dt, compile_s = res.median, res.first
+    n_frames = obs.keypoints.shape[0] if batched else 1
     print(
         f"{label}: {iters} iters x {n_frames} frames in {dt * 1e3:.0f}ms "
         f"({iters / dt:.0f} it/s/frame, compile {compile_s:.0f}s, "
@@ -197,21 +190,21 @@ def main():
     )
     import dataclasses
 
+    from bench_common import timed_launches
+
     fit5 = jax.jit(
         lambda o, i: seqmod.fit_sequence(smplx, cfg, o, i, prior)
     )
-    salt5 = np.float32((time.time() % 997.0) + 1.0)
 
     def run5(off):
         o = dataclasses.replace(obs5, keypoints=obs5.keypoints + off)
-        t0 = time.perf_counter()
         _, _, losses = fit5(o, init5)
         float(losses.sum())
-        return time.perf_counter() - t0
 
+    res5 = timed_launches(run5, warmups=1)
     print(f"config5 150-frame smplx sequence (temporal): compile+run "
-          f"{run5(salt5):.0f}s")
-    dt = float(np.median([run5(salt5 + 1 + r) for r in range(3)]))
+          f"{res5.first:.0f}s")
+    dt = res5.median
     print(
         f"config5: {iters} iters x 150 frames in {dt * 1e3:.0f}ms "
         f"({150 * iters / dt / 600:.1f} 600-iter fits/s/chip)"

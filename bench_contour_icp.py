@@ -10,40 +10,13 @@ a Python loop of launches), plus the match alone.
 """
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bench_common import timed_scan
 from bodyfitting_tpu.losses import silhouette as sil
-
-
-def timed_scan(step_fn, *args, runs=50):
-    """Median of 3 timed launches, each with a distinct seed so no launch
-    (including vs the warmup) repeats identical inputs — the tunnel can
-    serve repeated identical executions from cache (CLAUDE.md)."""
-    f = jax.jit(
-        lambda s, *a: jax.lax.scan(
-            lambda c, r: (c + step_fn(r + s, *a), None),
-            jnp.zeros(()), jnp.arange(1.0, runs + 1.0),
-        )[0]
-    )
-    # two distinct warmups; timing must FETCH the result (float()) — over
-    # the tunnel block_until_ready can return before execution finishes,
-    # and repeated identical launches can be served from a cache, so each
-    # timed launch uses a fresh seed and syncs via host transfer
-    # per-process-unique seeds: fixed ones replay byte-identical launches
-    # across processes, which the tunnel's execution cache can serve
-    salt = time.time() % 997.0
-    float(f(jnp.full((), salt + 0.25), *args))
-    float(f(jnp.full((), salt + 0.5), *args))
-    walls = []
-    for s in range(1, 4):
-        t0 = time.perf_counter()
-        float(f(jnp.full((), salt + float(s)), *args))
-        walls.append(time.perf_counter() - t0)
-    return float(np.median(walls)) / runs
 
 
 def main(B=8, Vm=8, P=512, V=10475, imsize=512):

@@ -12,7 +12,6 @@ Variants:
 """
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -38,24 +37,20 @@ def make_obs(B, n_views, rng):
 
 
 def timed_fit(model, config, obs, inits, prior, iters):
+    import dataclasses
+
+    from bench_common import timed_launches
+
     fit = jax.jit(
         jax.vmap(lambda o, i: smplify.fit(model, config, o, i, prior))
     )
-    import dataclasses
-
-    salt = np.float32((time.time() % 997.0) + 1.0)
 
     def run(off):
         o = dataclasses.replace(obs, keypoints=obs.keypoints + off)
-        t0 = time.perf_counter()
         _, _, losses = fit(o, inits)
         float(losses.sum())
-        return time.perf_counter() - t0
 
-    run(salt)
-    run(salt + 0.5)
-    walls = [run(salt + 1 + r) for r in range(3)]
-    return float(np.median(walls)) / iters
+    return timed_launches(run).median / iters
 
 
 def main(B=150, iters=100, only=None):

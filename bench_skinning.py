@@ -12,7 +12,6 @@ divided by ``runs``.  No launch caching, no dispatch pollution.
 """
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -22,30 +21,14 @@ from bodyfitting_tpu.ops.pallas_kernels import make_fused_skinning, skinning_xla
 
 
 def timed_scan(step_fn, A, vp, runs=50):
-    """Run ``step_fn(A + (r+s)*1e-6, vp) -> scalar`` for r=1..runs in one
-    scan.  Each timed launch uses a fresh seed and fetches the result to
-    host: over the tunnel, repeated identical (program, input) launches
-    can be served from a cache — even across processes — and
-    ``block_until_ready`` can return before execution finishes
-    (CLAUDE.md)."""
+    """Median per-iteration seconds of ``step_fn(A + s*1e-6, vp)`` under
+    the shared tunnel-safe protocol (``bench_common.timed_scan``) — the
+    seed perturbs the transforms so no iteration or launch repeats."""
+    from bench_common import timed_scan as _timed_scan
 
-    f = jax.jit(
-        lambda s, a, v: jax.lax.scan(
-            lambda c, r: (c + step_fn(a + (r + s) * 1e-6, v), None),
-            jnp.zeros(()), jnp.arange(1.0, runs + 1.0),
-        )[0]
+    return _timed_scan(
+        lambda s, a, v: step_fn(a + s * 1e-6, v), A, vp, runs=runs
     )
-    # per-process-unique seeds: fixed ones replay byte-identical launches
-    # across processes, which the tunnel's execution cache can serve
-    salt = (time.time() % 997.0) * 1e3
-    float(f(jnp.full((), salt + 1e3), A, vp))
-    float(f(jnp.full((), salt + 2e3), A, vp))
-    walls = []
-    for s in (3e3, 4e3, 5e3):
-        t0 = time.perf_counter()
-        float(f(jnp.full((), salt + s), A, vp))
-        walls.append(time.perf_counter() - t0)
-    return float(np.median(walls)) / runs
 
 
 def main(V=10475, J=55, B=128):

@@ -29,6 +29,7 @@ from bodyfitting_tpu.io import (
     apply_mask,
     crop_and_resize,
     genebody_views,
+    imread_checked,
     load_annots,
     load_openpose_dir,
     mask_square_bbox,
@@ -247,7 +248,7 @@ class Runner:
             so it never got a JSON, and is re-checked every run.  On
             full-res GeneBody data the JPEG decode is the dominant host
             cost per view."""
-            msk = cv2.imread(os.path.join(
+            msk = imread_checked(os.path.join(
                 self.target_dir, "mask", "%02d" % view, msknames[frame_idx]
             ), cv2.IMREAD_UNCHANGED)
             if msk.ndim == 3:
@@ -259,10 +260,10 @@ class Runner:
                 os.path.join(op_dir, "%02d_keypoints.json" % view)
             )
             if not json_cached or view == hmr_view or self.args.debug:
-                img = cv2.imread(os.path.join(
+                img = imread_checked(os.path.join(
                     self.target_dir, "image", "%02d" % view,
                     imgnames[frame_idx]
-                ), cv2.IMREAD_COLOR)[:, :, ::-1]    # BGR -> RGB
+                ))[:, :, ::-1]    # BGR -> RGB
                 img = apply_mask(img, msk)
                 img = crop_and_resize(img, bbox, size)
                 if np.mean(img) <= 10:  # black frame -> view unusable

@@ -133,14 +133,16 @@ class Runner:
         if os.path.exists(os.path.join(imgdir, "00.png")):
             import cv2
 
+            from bodyfitting_tpu.io import imread_checked
+
             images = [
-                cv2.imread(os.path.join(imgdir, "%02d.png" % i),
-                           cv2.IMREAD_COLOR)[:, :, ::-1]
+                imread_checked(
+                    os.path.join(imgdir, "%02d.png" % i))[:, :, ::-1]
                 for i in range(self.args.viewnum)
             ]
             masks = [
-                cv2.imread(os.path.join(maskdir, "%02d.png" % i),
-                           cv2.IMREAD_UNCHANGED)
+                imread_checked(os.path.join(maskdir, "%02d.png" % i),
+                               cv2.IMREAD_UNCHANGED)
                 for i in range(self.args.viewnum)
             ]
             center, _, dist = texfit.scene_bounds(scan.verts)

@@ -309,7 +309,20 @@ def loss_models(model: bm.BodyModel, config: FitConfig):
             else:
                 loss_model = reduced
         except jax.errors.TracerArrayConversionError:
-            pass
+            # f32 trajectories are chaotic (CLAUDE.md), so silently
+            # forking reduced/unreduced per call style would be invisible
+            # yet change converged fits — make the fork loud.
+            import warnings
+
+            warnings.warn(
+                "reduce_joints_only requested but the BodyModel is a jit "
+                "tracer (model passed as a jit argument?); falling back "
+                "to the unreduced forward — this follows a different "
+                "float32 optimization trajectory than closed-over-model "
+                "entry points. Close over a concrete model or set "
+                "FitConfig(reduce_joints_only=False) to silence.",
+                stacklevel=3,
+            )
     return loss_model, joints_model
 
 

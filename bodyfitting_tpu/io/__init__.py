@@ -7,6 +7,7 @@ from bodyfitting_tpu.io.openpose import (  # noqa: F401
 )
 from bodyfitting_tpu.io.obj import ObjMesh, load_obj, save_obj, save_obj_uv  # noqa: F401
 from bodyfitting_tpu.io.images import (  # noqa: F401
+    imread_checked,
     mask_square_bbox,
     crop_and_resize,
     adjust_K_for_crop,

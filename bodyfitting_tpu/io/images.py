@@ -11,6 +11,21 @@ from __future__ import annotations
 import numpy as np
 
 
+def imread_checked(path: str, flags=None) -> np.ndarray:
+    """``cv2.imread`` that raises ``FileNotFoundError`` naming the file.
+
+    cv2 returns ``None`` on a missing/unreadable image, which surfaces
+    later as an opaque ``AttributeError``/``TypeError`` — often from a
+    prep worker thread with no path in the message.
+    """
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR if flags is None else flags)
+    if img is None:
+        raise FileNotFoundError(f"cannot read image: {path}")
+    return img
+
+
 def mask_square_bbox(mask: np.ndarray) -> tuple[int, int, int, int]:
     """``(top, left, bottom, right)`` square crop window from a mask.
 

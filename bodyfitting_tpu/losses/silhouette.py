@@ -169,11 +169,27 @@ def _bilinear_sample_onehot(img: jax.Array, xy: jax.Array) -> jax.Array:
     sub-1 weights, accumulation is f32, and HIGHEST costs 3.9x for a
     <1e-4 relative difference.
     """
+    sampled, _ = _bilinear_sample_onehot_cov(img, xy)
+    return sampled
+
+
+def _bilinear_sample_onehot_cov(
+    img: jax.Array, xy: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """One-hot bilinear sample plus per-point in-image *coverage*.
+
+    ``coverage`` is the same sample taken from a constant-1 image, which
+    factorizes into ``rowsum * colsum`` — so ``coverage - sampled``
+    equals sampling ``1 - img`` with zero padding without ever
+    materializing the complement image.
+    """
     row_w, col_w = _separable_bilinear_weights(img.shape, xy, img.dtype)
     rows = jax.lax.dot_general(
         row_w, img, (((1,), (0,)), ((), ()))
     )                                                           # [N, W]
-    return jnp.sum(rows * col_w, axis=-1)
+    sampled = jnp.sum(rows * col_w, axis=-1)
+    coverage = jnp.sum(row_w, -1) * jnp.sum(col_w, -1)
+    return sampled, coverage
 
 
 def _separable_bilinear_weights(shape, xy, dtype):
@@ -287,14 +303,7 @@ def silhouette_loss(
         # hoist it; it cost ~4 ms/iter at 8 frames x 8 views): sampling
         # the constant-1 image with separable zero-padded bilinear
         # weights factorizes into rowsum * colsum.
-        row_w, col_w = _separable_bilinear_weights(
-            mask.shape, proj, proj.dtype
-        )
-        rows = jax.lax.dot_general(
-            row_w, mask, (((1,), (0,)), ((), ()))
-        )
-        sampled = jnp.sum(rows * col_w, axis=-1)
-        coverage = jnp.sum(row_w, -1) * jnp.sum(col_w, -1)
+        sampled, coverage = _bilinear_sample_onehot_cov(mask, proj)
         binary = jnp.sum(coverage - sampled)
         return icp, binary
 

@@ -425,7 +425,9 @@ def detect_to_json(
     for name in sorted(os.listdir(image_dir)):
         if not name.lower().endswith((".png", ".jpg", ".jpeg")):
             continue
-        img = cv2.imread(os.path.join(image_dir, name))
+        from bodyfitting_tpu.io.images import imread_checked
+
+        img = imread_checked(os.path.join(image_dir, name))
         candidate, subset = body(img)
         people = []
         for row in subset:
