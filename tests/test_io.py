@@ -205,3 +205,17 @@ def test_scan_prep_mtl_and_up_axis(tmp_path):
     mesh = bio.load_obj(str(dst))
     extents = mesh.verts.max(0) - mesh.verts.min(0)
     assert extents.argmax() == 1           # now y-up
+
+
+def test_imread_checked(tmp_path):
+    import cv2
+
+    path = str(tmp_path / "im.png")
+    cv2.imwrite(path, np.full((4, 5, 3), 7, np.uint8))
+    img = bio.imread_checked(path)
+    assert img.shape == (4, 5, 3) and (img == 7).all()
+    # flags pass through (grayscale read keeps 2 dims)
+    msk = bio.imread_checked(path, cv2.IMREAD_GRAYSCALE)
+    assert msk.shape == (4, 5)
+    with pytest.raises(FileNotFoundError, match="nope.png"):
+        bio.imread_checked(str(tmp_path / "nope.png"))
