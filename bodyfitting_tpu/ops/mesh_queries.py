@@ -54,15 +54,9 @@ def intersects_any(
 ) -> jax.Array:
     """Whether each ray hits the mesh anywhere (``[R]`` bool)."""
     R = origins.shape[0]
-    tri = verts[faces]
-    F = tri.shape[0]
-    nb = -(-F // face_block)
-    pad = nb * face_block - F
-    if pad:
-        tri = jnp.concatenate(
-            [tri, jnp.full((pad, 3, 3), 1e12, tri.dtype)]
-        )
-    tri = tri.reshape(nb, face_block, 3, 3)
+    from bodyfitting_tpu.ops.blocking import pad_to_blocks
+
+    tri = pad_to_blocks(verts[faces], face_block, 1e12)
 
     def body(any_hit, tri_blk):
         hit, _ = _moller_trumbore(
@@ -93,15 +87,9 @@ def inside_mesh(
         jnp.asarray([0.9827371, 0.1356791, 0.1259371], points.dtype),
         (Q, 3),
     )
-    tri = verts[faces]
-    F = tri.shape[0]
-    nb = -(-F // face_block)
-    pad = nb * face_block - F
-    if pad:
-        tri = jnp.concatenate(
-            [tri, jnp.full((pad, 3, 3), 1e12, tri.dtype)]
-        )
-    tri = tri.reshape(nb, face_block, 3, 3)
+    from bodyfitting_tpu.ops.blocking import pad_to_blocks
+
+    tri = pad_to_blocks(verts[faces], face_block, 1e12)
 
     def body(count, tri_blk):
         hit, _ = _moller_trumbore(

@@ -104,16 +104,13 @@ def nearest_point_on_mesh(
     Returns:
       ``(closest [Q, 3], face_idx [Q] int32, sqdist [Q])``.
     """
+    from bodyfitting_tpu.ops.blocking import num_blocks, pad_to_blocks
+
     Q = points.shape[0]
     F = faces.shape[0]
-    nblocks = -(-F // face_block)
-    pad = nblocks * face_block - F
-    tri = verts[faces]                                     # [F, 3, 3]
-    if pad:
-        # Pad with far-away degenerate triangles so they never win.
-        far = jnp.full((pad, 3, 3), 1e9, dtype=tri.dtype)
-        tri = jnp.concatenate([tri, far], axis=0)
-    tri = tri.reshape(nblocks, face_block, 3, 3)
+    nblocks = num_blocks(F, face_block)
+    # Pad with far-away degenerate triangles so they never win.
+    tri = pad_to_blocks(verts[faces], face_block, 1e9)
 
     def body(carry, inp):
         best_d2, best_idx, best_pt = carry

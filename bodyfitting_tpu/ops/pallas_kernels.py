@@ -166,7 +166,7 @@ def _morton_codes(pts: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
     )
 
 
-def build_nearest_index(tri: jax.Array, face_block: int = 512):
+def build_nearest_index(tri: jax.Array):
     """Precompute the Morton-sorted face data + per-block AABBs.
 
     Returns ``(tri_sorted [F,3,3], order [F], lo [3], hi [3])`` — reuse
@@ -213,7 +213,7 @@ def nearest_d2_idx(
     # Morton-sort faces by centroid AND queries, so both query tiles and
     # face blocks have tight AABBs (the cull needs both)
     if index is None:
-        tri_s, order, lo, hi = build_nearest_index(tri, face_block)
+        tri_s, order, lo, hi = build_nearest_index(tri)
     else:
         tri_s, order, lo, hi = index
     q_order = jnp.argsort(_morton_codes(points, lo, hi))
@@ -630,6 +630,13 @@ def make_fused_skinning(
     over frames, where the batch only prepends a grid axis).  The function
     is differentiable in A and v_posed via a fused backward kernel and is
     safe to ``vmap``/``jit``.
+
+    Note on the closure: like every other model array in this framework
+    (shapedirs is ~10x larger and closed over by all fit entry points),
+    ``weights`` becomes a constant of the enclosing jitted program.  The
+    CLAUDE.md remote-compile caveat is about *megabyte-scale arrays the
+    caller could pass as arguments instead*; model parameters are part of
+    the program by design and the tunnel handles them.
     """
     V, J = weights.shape
     TV = min(vert_tile, max(128, V))

@@ -82,19 +82,11 @@ def rasterize(
       image_size: output H == W.
       face_block: faces per scan step (transient is ``[H*W, face_block]``).
     """
+    from bodyfitting_tpu.ops.blocking import pad_to_blocks
+
     H = W = image_size
-    F = face_px.shape[0]
-    nb = -(-F // face_block)
-    pad = nb * face_block - F
-    if pad:
-        face_px = jnp.concatenate(
-            [face_px, jnp.full((pad, 3, 2), -_FAR, face_px.dtype)]
-        )
-        face_z = jnp.concatenate(
-            [face_z, jnp.full((pad, 3), _FAR, face_z.dtype)]
-        )
-    fpx = face_px.reshape(nb, face_block, 3, 2)
-    fz = face_z.reshape(nb, face_block, 3)
+    fpx = pad_to_blocks(face_px, face_block, -_FAR)
+    fz = pad_to_blocks(face_z, face_block, _FAR)
 
     ys = (jnp.arange(H, dtype=face_px.dtype) + 0.5)[:, None]
     xs = (jnp.arange(W, dtype=face_px.dtype) + 0.5)[None, :]
@@ -136,7 +128,9 @@ def rasterize(
 
     P = H * W
     init = (jnp.full((P,), _FAR, face_px.dtype), jnp.full((P,), -1, jnp.int32))
-    (zbuf, fidx), _ = jax.lax.scan(body, init, (jnp.arange(nb), fpx, fz))
+    (zbuf, fidx), _ = jax.lax.scan(
+        body, init, (jnp.arange(fpx.shape[0]), fpx, fz)
+    )
 
     # Recompute perspective-correct barycentrics for the winning faces only.
     safe_idx = jnp.maximum(fidx, 0)
@@ -276,13 +270,15 @@ def _point_segment_d2(p, a, b):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("image_size", "face_block", "sigma")
+    jax.jit, static_argnames=("image_size", "face_block", "sigma", "znear")
 )
 def soft_silhouette(
     face_px: jax.Array,
     image_size: int,
     sigma: float = 1e-4,
     face_block: int = 128,
+    face_z: jax.Array | None = None,
+    znear: float = 1e-6,
 ) -> jax.Array:
     """SoftRas-style probabilistic coverage ``[H, W]`` in [0, 1).
 
@@ -290,16 +286,22 @@ def soft_silhouette(
     normalised [0,1] image units; aggregated as
     ``1 - prod_f (1 - prob_f)`` accumulated in log space over face chunks —
     fully differentiable w.r.t. ``face_px``.
+
+    Pass ``face_z`` (``[F, 3]`` camera-space depths, e.g. from
+    :func:`project_faces`) whenever geometry can reach the camera plane:
+    the perspective divide clamps z at ~0, so a behind-camera vertex
+    projects to huge coordinates and its face would otherwise smear
+    spurious coverage across the image.  Faces with any vertex at
+    ``z <= znear`` are dropped, mirroring the hard rasterizer's ``front``
+    test (a face straddling the near plane is culled whole).
     """
+    from bodyfitting_tpu.ops.blocking import pad_to_blocks
+
     H = W = image_size
-    F = face_px.shape[0]
-    nb = -(-F // face_block)
-    pad = nb * face_block - F
-    if pad:
-        face_px = jnp.concatenate(
-            [face_px, jnp.full((pad, 3, 2), -_FAR, face_px.dtype)]
-        )
-    fpx = face_px.reshape(nb, face_block, 3, 2) / image_size
+    if face_z is None:
+        face_z = jnp.ones(face_px.shape[:2], face_px.dtype)
+    fpx = pad_to_blocks(face_px, face_block, -_FAR) / image_size
+    front = (pad_to_blocks(face_z, face_block, _FAR) > znear).all(-1)
 
     ys = (jnp.arange(H, dtype=face_px.dtype) + 0.5)[:, None] / image_size
     xs = (jnp.arange(W, dtype=face_px.dtype) + 0.5)[None, :] / image_size
@@ -307,7 +309,8 @@ def soft_silhouette(
         [jnp.broadcast_to(xs, (H, W)), jnp.broadcast_to(ys, (H, W))], -1
     ).reshape(-1, 1, 2)
 
-    def body(log_bg, px3):
+    def body(log_bg, xs_blk):
+        px3, front_blk = xs_blk
         a, b, c = px3[:, 0], px3[:, 1], px3[:, 2]
         e0 = _edge(b[None], c[None], pix)
         e1 = _edge(c[None], a[None], pix)
@@ -315,8 +318,8 @@ def soft_silhouette(
         inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | (
             (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
         )
-        # degenerate (e.g. padded) faces have zero area: no coverage
-        valid = (jnp.abs(_edge(a, b, c)) > _EPS)[None]
+        # degenerate (e.g. padded) and behind-camera faces: no coverage
+        valid = ((jnp.abs(_edge(a, b, c)) > _EPS) & front_blk)[None]
         d2 = jnp.minimum(
             _point_segment_d2(pix, a[None], b[None]),
             jnp.minimum(
@@ -330,5 +333,7 @@ def soft_silhouette(
         contrib = jnp.where(valid, -jax.nn.softplus(s), 0.0)
         return log_bg + jnp.sum(contrib, axis=1), None
 
-    log_bg, _ = jax.lax.scan(body, jnp.zeros((H * W,), face_px.dtype), fpx)
+    log_bg, _ = jax.lax.scan(
+        body, jnp.zeros((H * W,), face_px.dtype), (fpx, front)
+    )
     return (1.0 - jnp.exp(log_bg)).reshape(H, W)

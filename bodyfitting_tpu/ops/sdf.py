@@ -62,8 +62,12 @@ def build_distance_volume(
 
     ``padding`` extends the grid beyond the mesh AABB by that fraction of
     the largest extent, so early-iteration query points off the surface
-    still land inside the volume (outside points are clamped at query
-    time, under-estimating distance — gradients still point inward).
+    still land inside the volume.  Points outside the padded grid are
+    handled at query time: the interpolated distance at the clamped
+    location plus the (world-space) distance from the point to that
+    location, so values keep growing and gradients keep pointing inward
+    arbitrarily far outside (inside the grid the extra term is
+    identically zero).
     """
     vmin = verts.min(axis=0)
     vmax = verts.max(axis=0)
@@ -85,7 +89,7 @@ def build_distance_volume(
         )
 
         tri = verts[faces]
-        index = build_nearest_index(tri, face_block)
+        index = build_nearest_index(tri)
 
     dists = []
     fids = []
@@ -123,8 +127,14 @@ def query_distance(volume: DistanceVolume, points: jax.Array) -> jax.Array:
     over DEFAULT (~0.7 ms) is worth exactness for an optimization target.
     """
     R = volume.resolution
-    g = (points - volume.origin) / volume.spacing
-    g = jnp.clip(g, 0.0, R - 1 - 1e-5)
+    g_raw = (points - volume.origin) / volume.spacing
+    g = jnp.clip(g_raw, 0.0, R - 1 - 1e-5)
+    # out-of-volume residual: ||p - clamp(p)|| in world units.  Zero (with
+    # zero gradient) inside; outside it restores the inward pull that the
+    # clip otherwise kills (d(clip)/dp == 0 past the bounds).
+    outside = jnp.sqrt(
+        jnp.sum(jnp.square(g_raw - g), axis=-1) + 1e-20
+    ) * volume.spacing
     ir = jnp.arange(R, dtype=points.dtype)[None, :]
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(ir - g[:, 0][:, None]))  # [Q, R]
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(ir - g[:, 1][:, None]))
@@ -135,7 +145,7 @@ def query_distance(volume: DistanceVolume, points: jax.Array) -> jax.Array:
         precision=jax.lax.Precision.HIGHEST,
     ).reshape(-1, R, R)                                          # [Q, R, R]
     vy = jnp.sum(vx * wy[:, :, None], axis=1)                    # [Q, R]
-    return jnp.sum(vy * wz, axis=-1)
+    return jnp.sum(vy * wz, axis=-1) + outside
 
 
 def _query_distance_gather(
@@ -144,8 +154,11 @@ def _query_distance_gather(
     """Reference 8-tap gather trilinear query (slow on TPU; kept as the
     oracle for :func:`query_distance` parity tests)."""
     R = volume.resolution
-    g = (points - volume.origin) / volume.spacing
-    g = jnp.clip(g, 0.0, R - 1 - 1e-5)
+    g_raw = (points - volume.origin) / volume.spacing
+    g = jnp.clip(g_raw, 0.0, R - 1 - 1e-5)
+    outside = jnp.sqrt(
+        jnp.sum(jnp.square(g_raw - g), axis=-1) + 1e-20
+    ) * volume.spacing
     g0 = jnp.floor(g)
     w = g - g0
     i0 = g0.astype(jnp.int32)
@@ -164,7 +177,7 @@ def _query_distance_gather(
         + tap(1, 0, 1) * wx * (1 - wy) * wz
         + tap(0, 1, 1) * (1 - wx) * wy * wz
         + tap(1, 1, 1) * wx * wy * wz
-    )
+    ) + outside
 
 
 def query_nearest_face(volume: DistanceVolume,

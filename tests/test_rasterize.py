@@ -159,3 +159,30 @@ def test_face_block_padding_consistency():
     np.testing.assert_allclose(
         np.asarray(a.depth), np.asarray(b.depth), rtol=1e-6
     )
+
+
+def test_soft_silhouette_culls_behind_camera_faces():
+    """A face with a vertex behind the camera projects to a huge wedge
+    (perspective divide clamps z ~ 0); with face_z it must add zero
+    coverage instead of smearing the image."""
+    import jax.numpy as jnp
+
+    w2c = jnp.eye(4).at[2, 3].set(2.0)          # camera at z=-2 looking +z
+    K = jnp.asarray([[32.0, 0, 16], [0, 32.0, 16], [0, 0, 1.0]])
+    # one tri safely in front, one tri with a vertex behind the camera
+    verts = jnp.asarray([
+        [-0.2, -0.2, 0.0], [0.2, -0.2, 0.0], [0.0, 0.2, 0.0],
+        [-0.5, -0.5, 0.5], [0.5, -0.5, 0.5], [0.0, 0.5, -3.0],
+    ])
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    px, z = rz.project_faces(verts, faces, w2c, K)
+    assert float(z.min()) < 0                   # setup really crosses the plane
+
+    culled = np.asarray(
+        rz.soft_silhouette(px, image_size=32, sigma=1e-4, face_z=z)
+    )
+    front_only = np.asarray(
+        rz.soft_silhouette(px[:1], image_size=32, sigma=1e-4, face_z=z[:1])
+    )
+    np.testing.assert_allclose(culled, front_only, atol=1e-6)
+    assert culled.max() > 0.5                   # the front face still renders

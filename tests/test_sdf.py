@@ -150,3 +150,22 @@ def test_sdf_fit_matches_exact_fit():
     assert dv.mean() < 0.02 * height
     assert "displacement" in res_s
     assert np.isfinite(np.asarray(res_s["displacement"])).all()
+
+
+def test_outside_volume_gradient_points_inward(sphere_vol):
+    """Past the padded grid the clip used to zero the gradient along the
+    clipped axis; the out-of-volume residual restores the inward pull and
+    keeps the value growing with distance."""
+    vol = sphere_vol
+    far = jnp.asarray([[0.0, 0.0, 3.0], [-4.0, 0.0, 0.0]])
+    near = jnp.asarray([[0.0, 0.0, 1.29], [-1.29, 0.0, 0.0]])
+    d_far = np.asarray(sdf.query_distance(vol, far))
+    d_near = np.asarray(sdf.query_distance(vol, near))
+    assert (d_far > d_near + 1.0).all()      # value keeps growing
+    g = np.asarray(
+        jax.jacobian(lambda p: sdf.query_distance(vol, p).sum())(far)
+    )
+    assert g[0, 2] > 0.9                     # +z point pulled toward -z
+    assert g[1, 0] < -0.9                    # -x point pulled toward +x
+    # far outside, the residual dominates: unit-norm radial gradient
+    np.testing.assert_allclose(np.linalg.norm(g, axis=1), 1.0, atol=0.1)
