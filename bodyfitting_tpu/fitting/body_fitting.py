@@ -147,6 +147,7 @@ def build_observations(
     )
     if masks is not None and len(masks) > 0:
         from bodyfitting_tpu.losses.silhouette import (
+            binarize_mask,
             extract_contours,
             resample_contours,
         )
@@ -156,7 +157,10 @@ def build_observations(
             contours, valid = resample_contours(
                 contours, valid, contour_resample
             )
-        mask_arr = (np.asarray(masks) > 128).astype(np.float32)
+        # same binarisation rule as extract_contours — a float 0/1 mask
+        # thresholded at 128 would yield an all-zero stay-inside image
+        # while its contours extract fine (silently inverted loss)
+        mask_arr = np.stack([binarize_mask(m) for m in masks])
         mw2cs = np.linalg.inv(np.asarray(mask_c2ws, np.float32))
         mKs = np.asarray(mask_Ks, np.float32)
         Vm = mask_num_views or len(masks)
@@ -263,10 +267,14 @@ def smplx_init_from_smpl(
     transl = np.asarray(
         smpl_result["global_transl"], np.float32
     ).reshape(-1)
-    # stored global_transl is transl*scale (smplify.py:223): undo
+    # stored global_transl is transl*scale (smplify.py:223): undo.
+    # Sign-preserving guard — body_scale is unconstrained, so a (degenerate)
+    # negative fitted scale must divide through as-is, not be clamped to
+    # +1e-8 (which would launch the seed kilometres away).
+    safe_scale = np.where(np.abs(scale) < 1e-8, 1e-8, scale)
     return smplify.FitParams(
         body=body,
-        global_transl=jnp.asarray(transl / np.maximum(scale, 1e-8)),
+        global_transl=jnp.asarray(transl / safe_scale),
         body_scale=jnp.asarray(scale),
     )
 
@@ -427,6 +435,14 @@ def save_frame_outputs(
         fit_dir = os.path.join(output_folder, "smpl_fitting")
         os.makedirs(fit_dir, exist_ok=True)
         frames = use_frames or list(range(len(images)))
+        # reference semantics (body_fitting.py:104-107): images/c2ws/Ks are
+        # positionally aligned with use_frames, whose entries are the frame
+        # *ids* the overlays are named after
+        if len(frames) != len(images):
+            raise ValueError(
+                f"use_frames ({len(frames)}) must align 1:1 with images "
+                f"({len(images)})"
+            )
         for idx in range(0, len(images), render_skip):
             overlay = check_smpl_fitting(
                 images[idx], np.asarray(result["vertices"]), c2ws[idx],

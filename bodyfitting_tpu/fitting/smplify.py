@@ -347,6 +347,29 @@ def fit(
     """
     tx = _make_optimizer(config, init)
     opt_state = tx.init(init)
+    step_fn = make_step_fn(model, config, obs, pose_prior_fn, tx)
+
+    (params, _), losses = jax.lax.scan(
+        step_fn, (init, opt_state), jnp.arange(config.num_iters)
+    )
+
+    result = fit_result(model, params, obs)
+
+    if config.displacement and config.use_mesh:
+        disp, disp_losses = fit_displacement(
+            model, config, obs, jax.lax.stop_gradient(result["vertices"])
+        )
+        result["displacement"] = disp
+        losses = jnp.concatenate([losses, disp_losses])
+
+    return params, result, losses
+
+
+def make_step_fn(model, config, obs, pose_prior_fn, tx):
+    """One Adam step as a ``lax.scan`` body, shared by every entry point
+    (:func:`fit`, ``checkpointing.fit_resumable``) so chunked/resumed runs
+    follow the exact same float32 trajectory (CLAUDE.md: trajectories are
+    chaotic — any drift between step implementations changes fits)."""
     loss_model, joints_model = loss_models(model, config)
 
     def step_fn(carry, step):
@@ -362,13 +385,14 @@ def fit(
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    (params, _), losses = jax.lax.scan(
-        step_fn, (init, opt_state), jnp.arange(config.num_iters)
-    )
+    return step_fn
 
+
+def fit_result(model, params: FitParams, obs: Observations) -> dict:
+    """The reference's output dict (smplify.py:216-226) from final params."""
     out = bm.forward(model, params.body)
     scale = params.body_scale * obs.constant_scale
-    result = {
+    return {
         "vertices": (out.vertices + params.global_transl) * scale,
         "joints": (out.joints + params.global_transl) * scale,
         "pose": params.body.body_pose,
@@ -378,15 +402,6 @@ def fit(
         "scale": params.body_scale,
         "full_pose": out.full_pose,
     }
-
-    if config.displacement and config.use_mesh:
-        disp, disp_losses = fit_displacement(
-            model, config, obs, jax.lax.stop_gradient(result["vertices"])
-        )
-        result["displacement"] = disp
-        losses = jnp.concatenate([losses, disp_losses])
-
-    return params, result, losses
 
 
 def fit_displacement(

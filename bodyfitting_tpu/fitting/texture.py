@@ -58,12 +58,19 @@ class TextureFitConfig:
 
 def look_at_w2c(eye: np.ndarray, center: np.ndarray,
                 up=(0.0, 1.0, 0.0)) -> np.ndarray:
-    """CV-convention world-to-camera: +z forward (towards center), y down."""
+    """CV-convention world-to-camera: +z forward (towards center), y down.
+
+    Matches the reference's ``gen_cam_views(..., gl=True)`` axes exactly
+    (utils/renderer.py:7-25: ``cv2gl @ inv(viewmatrix)``): for
+    ``eye=(0,0,d), center=0, up=+y`` the camera axes are ``x=(1,0,0),
+    y=(0,-1,0), z=(0,0,-1)`` — world-up maps to image-up (smaller v), so
+    rendered people are upright for OpenPose/HMR.
+    """
     eye = np.asarray(eye, np.float64)
     z = center - eye
     z = z / np.linalg.norm(z)
     up = np.asarray(up, np.float64)
-    x = np.cross(up, z)
+    x = np.cross(z, up)
     n = np.linalg.norm(x)
     if n < 1e-8:                      # looking straight up/down
         x = np.array([1.0, 0.0, 0.0])
@@ -142,9 +149,13 @@ def render_textured(
     from bodyfitting_tpu.ops.pallas_kernels import auto_rasterize
 
     ss = max(int(supersample), 1)
-    K_ss = K * ss if ss > 1 else K
+    K_ss = jnp.asarray(K)
     if ss > 1:
-        K_ss = K_ss.at[2, 2].set(1.0) if hasattr(K_ss, "at") else K_ss
+        # scale fx/fy/cx/cy but keep K[2,2]=1 — a numpy K used to skip
+        # this via the hasattr fallback, leaving K[2,2]=ss which cancelled
+        # the scaling in the perspective divide (mesh rendered at 1x into
+        # the ss-times canvas)
+        K_ss = (K_ss * ss).at[2, 2].set(1.0)
     px, fz = rz.project_faces(verts, faces, w2c, K_ss)
     raster = auto_rasterize(px, fz, image_size * ss, face_block=face_block)
     raster = jax.tree.map(jax.lax.stop_gradient, raster)
@@ -250,25 +261,32 @@ def fit_texture(
         )
         pose_index = jnp.asarray(pose_index.astype(np.int32))
 
-        def maps_for_pose(w2c):
+        def maps_for_pose(w2c, scan_v, scan_f, scan_uv, scan_t,
+                          smpl_v, smpl_f, smpl_uv):
+            # scene arrays are jit arguments, not closures (a closed-over
+            # production scan would embed tens of MB of constants — the
+            # remote-compile tunnel rejects huge programs, CLAUDE.md)
             scan_img, _ = render_textured(
-                scan_verts_j, scan_faces_j, scan_face_uvs_j,
-                scan_texture_j, w2c, K, config.render_img_size,
-                config.face_block,
+                scan_v, scan_f, scan_uv, scan_t, w2c, K,
+                config.render_img_size, config.face_block,
             )
-            px, fz = rz.project_faces(smpl_verts, smpl_faces, w2c, K)
+            px, fz = rz.project_faces(smpl_v, smpl_f, w2c, K)
             raster = rz.rasterize(
                 px, fz, config.render_img_size,
                 face_block=config.face_block,
             )
-            uv_map = rz.interpolate_uvs(raster, smpl_face_uvs)
+            uv_map = rz.interpolate_uvs(raster, smpl_uv)
             return scan_img, uv_map, raster.face_idx >= 0
 
         # host loop over the jitted per-pose map: one compile, short calls
         # (lax.map would nest the raster scan and explode compile time)
         maps_jit = jax.jit(maps_for_pose)
-        per_pose = [maps_jit(uniq_poses[i])
-                    for i in range(uniq_poses.shape[0])]
+        per_pose = [
+            maps_jit(uniq_poses[i], scan_verts_j, scan_faces_j,
+                     scan_face_uvs_j, scan_texture_j, smpl_verts,
+                     smpl_faces, smpl_face_uvs)
+            for i in range(uniq_poses.shape[0])
+        ]
         scan_imgs, uv_maps, fgs = (
             jnp.stack([m[k] for m in per_pose]) for k in range(3)
         )
@@ -306,34 +324,50 @@ def fit_texture(
 
     poses = jnp.asarray(poses_np)
 
-    def step(carry, w2c):
-        tex, opt_state = carry
-        scan_img, _ = render_textured(
-            scan_verts_j, scan_faces_j, scan_face_uvs_j, scan_texture_j,
-            w2c, K, config.render_img_size, config.face_block,
-        )
-        scan_img = jax.lax.stop_gradient(scan_img)
+    # scene arrays are explicit jit arguments, same as the precompute
+    # branch: closing over a production-scale scan (~1M verts + a 2-4K
+    # texture) would embed tens of MB as program constants, which the
+    # remote-compile tunnel rejects (CLAUDE.md, HTTP 413)
+    def step_with(scene):
+        (smpl_v, smpl_f, smpl_uv, scan_v, scan_f, scan_uv, scan_t) = scene
 
-        def loss_fn(t):
-            smpl_img, _ = render_textured(
-                smpl_verts, smpl_faces, smpl_face_uvs, t, w2c, K,
-                config.render_img_size, config.face_block,
+        def step(carry, w2c):
+            tex, opt_state = carry
+            scan_img, _ = render_textured(
+                scan_v, scan_f, scan_uv, scan_t,
+                w2c, K, config.render_img_size, config.face_block,
             )
-            return jnp.sum(jnp.abs(scan_img - smpl_img))
+            scan_img = jax.lax.stop_gradient(scan_img)
 
-        loss, grads = jax.value_and_grad(loss_fn)(tex)
-        updates, opt_state = tx.update(grads, opt_state, tex)
-        tex = optax.apply_updates(tex, updates)
-        tex = jnp.clip(tex, 0.0, 1.0)
-        return (tex, opt_state), loss
+            def loss_fn(t):
+                smpl_img, _ = render_textured(
+                    smpl_v, smpl_f, smpl_uv, t, w2c, K,
+                    config.render_img_size, config.face_block,
+                )
+                return jnp.sum(jnp.abs(scan_img - smpl_img))
+
+            loss, grads = jax.value_and_grad(loss_fn)(tex)
+            updates, opt_state = tx.update(grads, opt_state, tex)
+            tex = optax.apply_updates(tex, updates)
+            tex = jnp.clip(tex, 0.0, 1.0)
+            return (tex, opt_state), loss
+
+        return step
 
     @jax.jit
-    def run(tex0):
+    def run(tex0, scene, poses_):
         opt_state = tx.init(tex0)
-        (tex, _), losses = jax.lax.scan(step, (tex0, opt_state), poses)
+        (tex, _), losses = jax.lax.scan(
+            step_with(scene), (tex0, opt_state), poses_
+        )
         return tex, losses
 
-    return run(init_texture)
+    return run(
+        init_texture,
+        (smpl_verts, smpl_faces, smpl_face_uvs,
+         scan_verts_j, scan_faces_j, scan_face_uvs_j, scan_texture_j),
+        poses,
+    )
 
 
 def atlas_coverage_mask(

@@ -42,6 +42,19 @@ def _use_pallas_match() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def binarize_mask(mask: np.ndarray) -> np.ndarray:
+    """0/1 float32 from a binary/float/uint8 mask.
+
+    One shared rule so contour extraction and the stay-inside mask image
+    can never disagree (a float 0/1 mask thresholded at 128 would be
+    all-zero while its contours extract fine): values on a [0, 255]
+    scale threshold at 127.5, values on a [0, 1] scale at 0.5.
+    """
+    m = np.asarray(mask)
+    thr = 127.5 if m.max(initial=0.0) > 1.0 else 0.5
+    return (m > thr).astype(np.float32)
+
+
 def extract_contours(
     masks: Sequence[np.ndarray], pad_to: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -58,7 +71,7 @@ def extract_contours(
 
     pts_list = []
     for mask in masks:
-        m8 = (np.asarray(mask) > 0.5).astype(np.uint8) * 255
+        m8 = binarize_mask(mask).astype(np.uint8) * 255
         found = cv2.findContours(m8, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)
         contours = found[0] if len(found) == 2 else found[1]
         largest = contours[

@@ -114,15 +114,21 @@ def test_resume_from_partial_checkpoint(fit_setup, tmp_path):
     ck.fit_resumable(model, half, obs, init, prior,
                      checkpoint_path=path, chunk_size=20)
 
-    # resume to the full 40: must equal a straight 40-step run
+    # resume to the full 40: must equal a straight 40-step run, and the
+    # returned trace must cover ALL 40 steps (pre-resume history restored
+    # from the sidecar), not just the post-resume chunk
     _, res_resumed, losses_resumed = ck.fit_resumable(
         model, config, obs, init, prior,
         checkpoint_path=path, chunk_size=20,
     )
-    assert losses_resumed.shape == (20,)     # only the remaining steps ran
-    _, res_full, _ = ck.fit_resumable(
+    assert losses_resumed.shape == (40,)
+    _, res_full, losses_full = ck.fit_resumable(
         model, config, obs, init, prior, checkpoint_path=None,
         chunk_size=40,
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses_resumed), np.asarray(losses_full), rtol=2e-4,
+        atol=1e-4,
     )
     np.testing.assert_allclose(
         np.asarray(res_resumed["vertices"]),

@@ -169,3 +169,61 @@ def test_outside_volume_gradient_points_inward(sphere_vol):
     assert g[1, 0] < -0.9                    # -x point pulled toward +x
     # far outside, the residual dominates: unit-norm radial gradient
     np.testing.assert_allclose(np.linalg.norm(g, axis=1), 1.0, atol=0.1)
+
+
+def test_fit_resumable_runs_displacement_stage(tmp_path):
+    """fit_resumable with displacement=True must produce the same output
+    schema and (same-machine, same-chunking-math) the same trajectory as
+    smplify.fit — previously the displacement stage was silently skipped."""
+    from bodyfitting_tpu.fitting import checkpointing as ck
+    from bodyfitting_tpu.fitting import smplify
+    from bodyfitting_tpu.models import body_model as bm
+
+    model = bm.spin_joint_mapper_for_smpl(
+        bm.synthetic_model("smpl", num_verts=96, seed=5)
+    )
+    scan_out = bm.forward(model, bm.BodyParams.zeros(model))
+    scan_verts = scan_out.vertices * 0.3
+    height = float(scan_verts[:, 1].max() - scan_verts[:, 1].min())
+    K = jnp.asarray([[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]])
+    w2c = jnp.eye(4).at[2, 3].set(3.0)
+    from bodyfitting_tpu.ops.camera import perspective_projection
+
+    uv = perspective_projection(
+        (scan_out.joints * 0.3)[:25][None], w2c[None, :3, :3],
+        w2c[None, :3, 3], K[None],
+    )[0]
+    kps = jnp.concatenate([uv, jnp.ones_like(uv[:, :1])], 1)
+    vol = sdf.build_distance_volume(scan_verts, model.faces, resolution=32)
+    obs = smplify.Observations(
+        w2cs=w2c[None], Ks=K[None], keypoints=kps[None],
+        view_mask=jnp.ones(1), constant_scale=jnp.asarray(0.3),
+        scan_verts=scan_verts, scan_faces=model.faces,
+        scan_height=jnp.asarray(height), scan_volume=vol,
+    )
+    cfg = smplify.FitConfig(
+        num_iters=20, imsize=256.0, use_mesh=True, displacement=True,
+        mesh_loss_impl="sdf",
+    )
+    prior = lambda p: jnp.zeros(p.shape[:-1], p.dtype)  # noqa: E731
+    init = smplify.FitParams.init(model)
+
+    _, res_plain, losses_plain = jax.jit(
+        lambda o, i: smplify.fit(model, cfg, o, i, prior)
+    )(obs, init)
+    _, res_ck, losses_ck = ck.fit_resumable(
+        model, cfg, obs, init, prior,
+        checkpoint_path=str(tmp_path / "d.ckpt"), chunk_size=7,
+    )
+    assert "displacement" in res_ck
+    assert losses_ck.shape == losses_plain.shape == (40,)
+    # chunked and whole-scan are different XLA programs: same math, ulp-level
+    # reassociation noise amplified by the mesh losses (CLAUDE.md trajectory
+    # chaos) — pin the trajectory loosely, the schema exactly
+    np.testing.assert_allclose(
+        np.asarray(losses_ck), np.asarray(losses_plain), rtol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_ck["displacement"]),
+        np.asarray(res_plain["displacement"]), atol=5e-3,
+    )

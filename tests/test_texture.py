@@ -181,3 +181,26 @@ def test_bake_displacement_map_interpolates():
     np.testing.assert_allclose(
         dm[rr, cc, 0], cc / (S - 1.0), atol=1.5e-2
     )
+
+
+def test_look_at_w2c_matches_reference_gl_axes():
+    """look_at_w2c must reproduce gen_cam_views(gl=True) axes (reference
+    utils/renderer.py:7-25): y-down CV camera, so world-up renders
+    image-up (upright people for OpenPose/HMR)."""
+    texfit = tf
+    w2c = texfit.look_at_w2c(np.array([0.0, 0.0, 3.0]), np.zeros(3))
+    R = w2c[:3, :3]
+    np.testing.assert_allclose(R[0], [1, 0, 0], atol=1e-12)   # x
+    np.testing.assert_allclose(R[1], [0, -1, 0], atol=1e-12)  # y down
+    np.testing.assert_allclose(R[2], [0, 0, -1], atol=1e-12)  # z forward
+    # a head at world +y projects above the principal point
+    K = np.array([[100.0, 0, 64], [0, 100.0, 64], [0, 0, 1]])
+    head = np.array([0.0, 1.0, 0.0, 1.0])
+    cam = w2c @ head
+    v = K[1, 1] * cam[1] / cam[2] + K[1, 2]
+    assert v < 64
+    # every ring pose keeps the person upright
+    for w2c in texfit.ring_poses(np.zeros(3), 8, 3.0):
+        cam = w2c @ head
+        v = K[1, 1] * cam[1] / cam[2] + K[1, 2]
+        assert cam[2] > 0 and v < 64
