@@ -214,6 +214,7 @@ class BodyModel:
     num_betas: int = 10
     num_expressions: int = 0
     num_hand_pca: int = 6
+    hand_use_pca: bool = True      # False: hand poses are full [45] aa
     flat_hand_mean: bool = False
     use_face_contour: bool = False
 
@@ -243,8 +244,8 @@ jax.tree_util.register_dataclass(
     ],
     meta_fields=[
         "model_type", "parents", "neck_chain", "num_betas",
-        "num_expressions", "num_hand_pca", "flat_hand_mean",
-        "use_face_contour",
+        "num_expressions", "num_hand_pca", "hand_use_pca",
+        "flat_hand_mean", "use_face_contour",
     ],
 )
 
@@ -265,13 +266,13 @@ class BodyParams:
     jaw_pose: jax.Array            # [3]
     leye_pose: jax.Array           # [3]
     reye_pose: jax.Array           # [3]
-    left_hand_pose: jax.Array      # [C] PCA coefficients (or [45] full aa)
-    right_hand_pose: jax.Array     # [C]
+    left_hand_pose: jax.Array      # [C] PCA coeffs; [45] aa if not hand_use_pca
+    right_hand_pose: jax.Array     # same layout as left_hand_pose
 
     @staticmethod
     def zeros(model: BodyModel, dtype=jnp.float32) -> "BodyParams":
         nb = model.num_body_joints
-        c = model.num_hand_pca
+        c = model.num_hand_pca if model.hand_use_pca else 45
         return BodyParams(
             betas=jnp.zeros((model.num_betas,), dtype),
             global_orient=jnp.zeros((3,), dtype),
@@ -376,8 +377,13 @@ def _full_pose(model: BodyModel, p: BodyParams) -> jax.Array:
         return jnp.concatenate([p.global_orient, p.body_pose])
 
     def hand_aa(coeffs, components, mean):
-        aa = jnp.matmul(coeffs, components[: coeffs.shape[-1]],
-                        preferred_element_type=jnp.float32)
+        if model.hand_use_pca:
+            # PCA coefficients through the basis (smplx use_pca=True)
+            aa = jnp.matmul(coeffs, components[: coeffs.shape[-1]],
+                            preferred_element_type=jnp.float32)
+        else:
+            # full [45] axis-angle pose (smplx use_pca=False)
+            aa = coeffs
         if not model.flat_hand_mean:
             aa = aa + mean
         return aa
@@ -615,6 +621,7 @@ def load_model(
     num_betas: int = 10,
     num_expressions: int = 10,
     num_hand_pca: int = 6,
+    hand_use_pca: bool = True,
     flat_hand_mean: bool = False,
     use_face_contour: bool = True,
     extra_joint_regressor_path: Optional[str] = None,
@@ -640,10 +647,18 @@ def load_model(
     v_template = _to_np(data["v_template"])
     V = v_template.shape[0]
     shapedirs_full = _to_np(data["shapedirs"])            # [V, 3, S_total]
-    # SMPL-X assets store 400 dirs: [0:300] shape space, [300:310] expression.
+    # SMPL-X shapedirs layouts (smplx body_models.py SHAPE_SPACE_DIM
+    # logic): full assets store 400 dirs — [0:300] shape space, [300:310]
+    # expression; legacy assets store 20 — [0:10] shape, [10:20]
+    # expression.  Dropping the legacy expression slice would leave the
+    # fitter optimizing expression coefficients with zero effect.
     if model_type == "smplx" and shapedirs_full.shape[-1] > 150:
         shape_part = shapedirs_full[..., :num_betas]
         expr_part = shapedirs_full[..., 300:300 + num_expressions]
+    elif model_type == "smplx":
+        nb = min(num_betas, 10)
+        shape_part = shapedirs_full[..., :nb]
+        expr_part = shapedirs_full[..., 10:10 + min(num_expressions, 10)]
     else:
         shape_part = shapedirs_full[..., :num_betas]
         expr_part = None
@@ -712,6 +727,7 @@ def load_model(
         num_betas=num_betas + (1 if kid_dir is not None else 0),
         num_expressions=num_expressions if is_x else 0,
         num_hand_pca=num_hand_pca,
+        hand_use_pca=hand_use_pca,
         flat_hand_mean=flat_hand_mean,
         use_face_contour=use_face_contour and is_x,
     )

@@ -107,8 +107,9 @@ class ForwardAttention(nn.Module):
     @nn.compact
     def __call__(self, feats, masks):
         conv_f = TorchConv(self.features, name="conv")(feats)
-        mask_in = masks[..., :3] if feats.shape[-1] == 4 else masks
-        conv_m = TorchConv(self.features, name="maskConv")(mask_in)
+        # masks are 3-channel at every level (the reference's 4-vs-3
+        # in-channel switch is handled by Flax shape inference)
+        conv_m = TorchConv(self.features, name="maskConv")(masks)
         attn = GaussActivation(1.1, 2.0, 1.0, 1.0, name="gauss")(conv_m)
         out = nn.leaky_relu(conv_f * attn, 0.2)
         return out, mask_update(conv_m), conv_f, attn
@@ -236,9 +237,11 @@ class Inpainter:
             sd = torch.load(checkpoint_path, map_location="cpu",
                             weights_only=False)
             self.variables = convert_lbam_torch(sd, self.variables)
-        self._apply = jax.jit(
-            lambda img, m: self.model.apply(self.variables, img, m)
-        )
+        # weights as jit ARGUMENTS, not closures: embedding the LBAM
+        # parameters as program constants trips the remote-compile
+        # tunnel's size limit (CLAUDE.md, HTTP 413)
+        apply_jit = jax.jit(self.model.apply)
+        self._apply = lambda img, m: apply_jit(self.variables, img, m)
 
     def __call__(self, image: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """image uint8 [H,W,3], mask uint8 [H,W,3] (255 = region to fill).

@@ -263,9 +263,11 @@ class BodyDetector:
 
         self.model, self.variables = load_body_net(checkpoint_path)
         self.scales = scales
-        self._apply = jax.jit(
-            lambda x: self.model.apply(self.variables, x)
-        )
+        # weights ride as jit ARGUMENTS: closing over ~100-200MB of
+        # net parameters embeds them as program constants, which the
+        # remote-compile tunnel rejects (CLAUDE.md, HTTP 413)
+        apply_jit = jax.jit(self.model.apply)
+        self._apply = lambda x: apply_jit(self.variables, x)
 
     def __call__(self, ori_img: np.ndarray):
         paf_avg, heatmap_avg = _multiscale_maps(
@@ -284,9 +286,11 @@ class HandDetector:
 
         self.model, self.variables = load_hand_net(checkpoint_path)
         self.scales = scales
-        self._apply = jax.jit(
-            lambda x: self.model.apply(self.variables, x)
-        )
+        # weights ride as jit ARGUMENTS: closing over ~100-200MB of
+        # net parameters embeds them as program constants, which the
+        # remote-compile tunnel rejects (CLAUDE.md, HTTP 413)
+        apply_jit = jax.jit(self.model.apply)
+        self._apply = lambda x: apply_jit(self.variables, x)
 
     def __call__(self, crop_img: np.ndarray, thre: float = 0.05):
         (heatmap_avg,) = _multiscale_maps(
@@ -313,7 +317,10 @@ def _crop_peaks_with_scores(heatmap_avg, n_parts: int, thre: float):
         if binary.sum() == 0:
             peaks.append([0.0, 0.0, 0.0])
             continue
-        labels, n = label(binary)
+        # 8-connectivity, matching the reference's skimage
+        # label(connectivity=2) (hand.py:69) — scipy defaults to
+        # 4-connectivity, which splits diagonal-touching blobs
+        labels, n = label(binary, structure=np.ones((3, 3), np.uint8))
         sums = [m[labels == i].sum() for i in range(1, n + 1)]
         best = int(np.argmax(sums)) + 1
         masked = np.where(labels == best, m, 0)
@@ -338,9 +345,11 @@ class FaceDetector:
         self.model, self.variables = load_face_net(checkpoint_path)
         self.scales = scales
         self.boxsize = boxsize
-        self._apply = jax.jit(
-            lambda x: self.model.apply(self.variables, x)
-        )
+        # weights ride as jit ARGUMENTS: closing over ~100-200MB of
+        # net parameters embeds them as program constants, which the
+        # remote-compile tunnel rejects (CLAUDE.md, HTTP 413)
+        apply_jit = jax.jit(self.model.apply)
+        self._apply = lambda x: apply_jit(self.variables, x)
 
     def __call__(self, crop_img: np.ndarray, thre: float = 0.05):
         (heatmap_avg,) = _multiscale_maps(

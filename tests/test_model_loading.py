@@ -6,6 +6,7 @@ tables; legacy SMPL ``.pkl`` with chumpy-wrapped arrays, scipy-sparse
 J_regressor and uint32 kintree) so the loaders' real code paths run.
 """
 
+import dataclasses
 import pickle
 import sys
 import types
@@ -203,3 +204,74 @@ def test_golden_forward_from_npz_asset(smplx_npz):
         np.asarray(out.joints)[[0, 12, 25, 55, 134]], golden_joints,
         atol=5e-6,
     )
+
+
+def test_load_legacy_smplx_expression_slice(tmp_path):
+    """Legacy SMPL-X assets store 20 shapedirs (10 shape + 10 expression,
+    smplx body_models.py layout); the expression slice must load, not be
+    silently dropped (which left the fitter optimizing a no-op)."""
+    rng = np.random.default_rng(3)
+    path = tmp_path / "SMPLX_LEGACY.npz"
+    parents = np.asarray(_smplx_parents(), np.int64)
+    kintree = np.stack([parents, np.arange(J_X)], 0).astype(np.uint32)
+    kintree[0, 0] = np.iinfo(np.uint32).max
+    F = 2000
+    np.savez(
+        str(path),
+        v_template=rng.normal(scale=0.3, size=(V_X, 3)),
+        shapedirs=rng.normal(scale=0.01, size=(V_X, 3, 20)),
+        posedirs=rng.normal(scale=1e-3, size=(V_X, 3, (J_X - 1) * 9)),
+        J_regressor=rng.random((J_X, V_X)) / V_X,
+        weights=rng.dirichlet(np.ones(J_X), size=V_X),
+        kintree_table=kintree,
+        f=rng.integers(0, V_X, size=(F, 3)).astype(np.uint32),
+        hands_componentsl=rng.normal(size=(45, 45)),
+        hands_componentsr=rng.normal(size=(45, 45)),
+        hands_meanl=rng.normal(scale=0.05, size=45),
+        hands_meanr=rng.normal(scale=0.05, size=45),
+        lmk_faces_idx=rng.integers(0, F, size=51).astype(np.int64),
+        lmk_bary_coords=rng.dirichlet(np.ones(3), size=51),
+        dynamic_lmk_faces_idx=rng.integers(0, F, size=(79, 17)).astype(
+            np.int64
+        ),
+        dynamic_lmk_bary_coords=rng.dirichlet(np.ones(3), size=(79, 17)),
+    )
+    model = bm.load_model(str(path))
+    assert model.model_type == "smplx"
+    assert model.expr_dirs is not None
+    d = dict(np.load(str(path)))
+    want = d["shapedirs"][..., 10:20].reshape(V_X * 3, 10).T
+    np.testing.assert_allclose(
+        np.asarray(model.expr_dirs), want, rtol=1e-6
+    )
+    # expression coefficients really move vertices
+    p0 = bm.BodyParams.zeros(model)
+    p1 = dataclasses.replace(
+        p0, expression=jnp.full((model.num_expressions,), 0.5)
+    )
+    v0 = bm.forward(model, p0).vertices
+    v1 = bm.forward(model, p1).vertices
+    assert float(jnp.abs(v1 - v0).max()) > 1e-4
+
+
+def test_hand_use_pca_false_full_axis_angle():
+    """hand_use_pca=False treats hand poses as full 45-dim axis-angle
+    (smplx use_pca=False): equivalent to a PCA model with an identity
+    basis, and BodyParams.zeros allocates 45 dims."""
+    model = bm.synthetic_model("smplx", num_verts=128, seed=2)
+    eye = jnp.eye(45, dtype=model.hand_components_l.dtype)
+    model_id = dataclasses.replace(
+        model, hand_components_l=eye, hand_components_r=eye,
+        num_hand_pca=45,
+    )
+    model_aa = dataclasses.replace(model, hand_use_pca=False)
+
+    p = bm.BodyParams.zeros(model_aa)
+    assert p.left_hand_pose.shape == (45,)
+    rng = np.random.default_rng(0)
+    hand = jnp.asarray(rng.normal(scale=0.2, size=45), jnp.float32)
+    p = dataclasses.replace(p, left_hand_pose=hand, right_hand_pose=-hand)
+
+    va = bm.forward(model_aa, p).vertices
+    vb = bm.forward(model_id, p).vertices
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-6)
