@@ -461,12 +461,19 @@ def displacement_problem(
                 scan_face_normals,
             )
         else:
+            from bodyfitting_tpu.losses.mesh import nearest_points
+
+            # one O(V*F) sweep shared by both terms (they were each
+            # running the identical blocked brute-force query)
+            near = nearest_points(
+                deformed.reshape(-1, 3), obs.scan_verts, obs.scan_faces
+            )
             icp = point_cloud_loss(
-                deformed, obs.scan_verts, obs.scan_faces
+                deformed, obs.scan_verts, obs.scan_faces, nearest=near
             )
             nl = normal_loss(
                 deformed, deformed_norms, obs.scan_verts, obs.scan_faces,
-                scan_face_normals,
+                scan_face_normals, nearest=near,
             )
         sm = normal_laplacian_smoothness(deformed_norms, faces)
         return icp + (nl + sm) * obs.constant_scale * 0.1

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bodyfitting_tpu.constants import NUM_BODY_KP, NUM_HAND_KP
 from bodyfitting_tpu.ops.camera import perspective_projection
@@ -24,8 +25,11 @@ from bodyfitting_tpu.ops.camera import perspective_projection
 # Body-pose indices (global orient excluded) and signs of the knee/elbow
 # angle prior (reference smplify/loss.py:54-61): left/right elbow z, left/
 # right knee x, signed so that natural bending decreases the penalty.
-_ANGLE_PRIOR_IDXS = jnp.array([55 - 3, 58 - 3, 12 - 3, 15 - 3])
-_ANGLE_PRIOR_SIGNS = jnp.array([1.0, -1.0, -1.0, -1.0])
+# numpy on purpose: a module-level jnp.array would run a device op at
+# import time, committing the JAX backend before callers can pin a
+# platform (CLAUDE.md: config.update must precede any array op).
+_ANGLE_PRIOR_IDXS = np.array([55 - 3, 58 - 3, 12 - 3, 15 - 3])
+_ANGLE_PRIOR_SIGNS = np.array([1.0, -1.0, -1.0, -1.0], np.float32)
 
 
 def gmof(x: jax.Array, sigma: float) -> jax.Array:

@@ -38,15 +38,22 @@ def compute_face_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
 
 
 def point_cloud_loss(
-    points: jax.Array, scan_verts: jax.Array, scan_faces: jax.Array
+    points: jax.Array, scan_verts: jax.Array, scan_faces: jax.Array,
+    nearest=None,
 ) -> jax.Array:
     """Point-to-mesh distance term (reference loss.py:233-242).
 
     NOTE the reference computes ``torch.norm(diff, p=2)`` over the *whole*
     flattened residual — a single Frobenius norm, not a per-point mean —
     then means the scalar.  Reproduced exactly.
+
+    ``nearest``: optional precomputed ``nearest_points(...)`` result so a
+    caller evaluating several mesh terms pays the O(V*F) sweep once.
     """
-    closest, _ = nearest_points(points.reshape(-1, 3), scan_verts, scan_faces)
+    if nearest is None:
+        nearest = nearest_points(points.reshape(-1, 3), scan_verts,
+                                 scan_faces)
+    closest, _ = nearest
     diff = points.reshape(-1, 3) - closest
     return jnp.sqrt(jnp.sum(diff * diff) + 1e-20)
 
@@ -57,11 +64,16 @@ def normal_loss(
     scan_verts: jax.Array,
     scan_faces: jax.Array,
     scan_face_normals: jax.Array,
+    nearest=None,
 ) -> jax.Array:
-    """1 - <closest-face normal, point normal>, averaged (loss.py:260-271)."""
-    _, face_idx = nearest_points(
-        points.reshape(-1, 3), scan_verts, scan_faces
-    )
+    """1 - <closest-face normal, point normal>, averaged (loss.py:260-271).
+
+    ``nearest``: optional precomputed ``nearest_points(...)`` result
+    (shared with :func:`point_cloud_loss`)."""
+    if nearest is None:
+        nearest = nearest_points(points.reshape(-1, 3), scan_verts,
+                                 scan_faces)
+    _, face_idx = nearest
     closest_fn = scan_face_normals[face_idx]
     return jnp.mean(
         1.0 - jnp.sum(closest_fn * point_normals.reshape(-1, 3), axis=-1)
@@ -82,7 +94,12 @@ def normal_laplacian_smoothness(
 def chamfer_loss(
     pts_src: jax.Array, pts_tar: jax.Array, key: jax.Array, samples: int = 500
 ) -> jax.Array:
-    """Subsampled symmetric chamfer distance (reference loss.py:245-258)."""
+    """Subsampled symmetric chamfer distance (reference loss.py:245-258).
+
+    Deliberate fix vs the reference: loss.py:253 draws the TARGET sample
+    indices from ``len(pts_src)`` (biased, and out-of-bounds when the
+    clouds differ in size); here each cloud is sampled from its own
+    length."""
     src_flat = pts_src.reshape(-1, 3)
     tar_flat = pts_tar.reshape(-1, 3)
     k1, k2 = jax.random.split(key)

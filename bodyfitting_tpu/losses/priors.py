@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import pickle
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +28,7 @@ class MaxMixturePrior:
     means: jax.Array           # [K, D]
     precisions: jax.Array      # [K, D, D]
     log_nll_weights: jax.Array  # [K]
+    mean_pose: jax.Array       # [D] mixture-weighted mean, weights @ means
 
     def __call__(self, pose: jax.Array) -> jax.Array:
         """pose ``[..., D]`` -> nll ``[...]``."""
@@ -42,13 +42,13 @@ class MaxMixturePrior:
         return jnp.min(nll, axis=-1)
 
     def get_mean(self) -> jax.Array:
-        # The reference weights by mixture weights; min-mode uses means[0].
-        return self.means[0]
+        """Mixture-weighted mean pose (reference prior.py:176-179)."""
+        return self.mean_pose
 
 
 jax.tree_util.register_dataclass(
     MaxMixturePrior,
-    data_fields=["means", "precisions", "log_nll_weights"],
+    data_fields=["means", "precisions", "log_nll_weights", "mean_pose"],
     meta_fields=[],
 )
 
@@ -67,6 +67,7 @@ def _build(means: np.ndarray, covs: np.ndarray, weights: np.ndarray,
         means=jnp.asarray(means, dtype),
         precisions=jnp.asarray(precisions, dtype),
         log_nll_weights=jnp.asarray(np.log(nll_weights), dtype),
+        mean_pose=jnp.asarray(weights @ means, dtype),
     )
 
 
@@ -99,9 +100,3 @@ def l2_prior(x: jax.Array) -> jax.Array:
     """Sum-of-squares prior (reference prior.py:92-97)."""
     return jnp.sum(x ** 2)
 
-
-def uniform_prior_69(prior: Optional[MaxMixturePrior]):
-    """Wrap a prior (or None) into a ``[69] -> scalar`` callable."""
-    if prior is None:
-        return lambda pose: jnp.zeros(pose.shape[:-1], pose.dtype)
-    return prior

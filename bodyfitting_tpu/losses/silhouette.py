@@ -74,6 +74,11 @@ def extract_contours(
         m8 = binarize_mask(mask).astype(np.uint8) * 255
         found = cv2.findContours(m8, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)
         contours = found[0] if len(found) == 2 else found[1]
+        if not contours:
+            # all-background mask (subject occluded/out of frame in this
+            # view): inert zero-validity contour instead of crashing
+            pts_list.append(np.zeros((0, 2), np.float32))
+            continue
         largest = contours[
             int(np.argmax([c.shape[0] for c in contours]))
         ]
@@ -238,6 +243,13 @@ def silhouette_loss(
       masks: ``[Vm, H, W]`` float masks in [0, 1].
       w2cs: ``[Vm, 4, 4]``; Ks: ``[Vm, 3, 3]``.
       verts: ``[V, 3]`` SMPL vertices (world, already scaled).
+
+    PADDING CONVENTION: ``contour_valid`` zeroes only the contour-ICP
+    term.  The differentiable stay-inside term samples ``1 - mask`` for
+    every view, so a padded view's mask MUST be all-ONES (nothing is
+    "outside"), not all-zeros — an all-zero pad would penalize every
+    projected vertex and push the body out of the image.
+    ``fitting.body_fitting.build_observations`` pads this way.
     """
     from bodyfitting_tpu.ops.camera import perspective_projection
 
@@ -289,7 +301,12 @@ def silhouette_loss(
         mindist = jnp.sqrt(
             jnp.sum((contour - matched) ** 2, -1) + 1e-12
         )
-        mindist = jnp.where(in_match > 0.5, mindist, jnp.sqrt(_BIG))
+        # in_match < 0.5 happens only when NO strided vertex projects
+        # inside this view (argmin otherwise picks an inside one): there
+        # is nothing to match, so the view's ICP term is dropped — a
+        # gradient-free _BIG constant here would explode the loss value
+        # (~1.6e7/view) without adding any corrective signal
+        mindist = jnp.where(in_match > 0.5, mindist, 0.0)
         H, W = mask.shape
         mx = jnp.clip(
             jax.lax.stop_gradient(matched[:, 0]).astype(jnp.int32), 0, W - 1

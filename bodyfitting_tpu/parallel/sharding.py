@@ -114,22 +114,19 @@ def training_step(model, config, pose_prior_fn, step_idx: int = 0):
     (``config.num_iters // config.stage_gate_den``) to exercise the
     mask/mesh branches.
     """
-    import optax
-
     tx = smplify._make_optimizer(
         config, smplify.FitParams.init(model)
     )
 
     def one(params, opt_state, obs):
-        (loss, _), grads = jax.value_and_grad(
-            lambda p: smplify.fit_loss(
-                model, config, p, obs,
-                jax.numpy.asarray(step_idx, jax.numpy.int32), pose_prior_fn
-            ),
-            has_aux=True,
-        )(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        # the PRODUCTION step body (incl. the joints-only model reduction)
+        # — duplicating it here once made the dryrun compile a program
+        # real fits never run
+        step_fn = smplify.make_step_fn(model, config, obs, pose_prior_fn,
+                                       tx)
+        (params, opt_state), loss = step_fn(
+            (params, opt_state), jax.numpy.asarray(step_idx, jax.numpy.int32)
+        )
         return params, opt_state, loss
 
     return tx, jax.vmap(one)

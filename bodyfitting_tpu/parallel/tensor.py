@@ -33,11 +33,19 @@ def shard_model_vertices(
 ) -> bm.BodyModel:
     """Place the model's per-vertex arrays sharded over ``mesh[axis]``.
 
-    Vertex counts must divide the axis size after the 3V flattening
-    (SMPL 6890 and SMPL-X 10475 both divide by 2 when multiplied by 3 —
-    pad the model if you need other factors).  Faces and selector ids are
-    gather indices and stay replicated.
+    Both V (for ``v_template``/``lbs_weights``) and 3V (for the flattened
+    blendshape bases) must divide the axis size: SMPL's V=6890 divides 2,
+    but SMPL-X's V=10475 is odd (3V=31425 too) — pad the vertex axis to a
+    multiple of the mesh size first for any even ``tp`` factor.  Faces
+    and selector ids are gather indices and stay replicated.
     """
+    size = mesh.shape[axis]
+    if model.v_template.shape[0] % size or \
+            (3 * model.v_template.shape[0]) % size:
+        raise ValueError(
+            f"vertex count {model.v_template.shape[0]} (and 3V) must "
+            f"divide mesh['{axis}'] = {size}; pad the model's vertex axis"
+        )
     def place(name, x):
         if x is None:
             return None
