@@ -115,9 +115,51 @@ def config_parser():
     return p
 
 
-def load_body_model(args) -> bm.BodyModel:
+def resolve_model_path(model_path: str, smpl_type: str,
+                       gender: str) -> str:
+    """Find the asset file for ``gender``.
+
+    Mirrors the reference's ``smplx.create(model_path, gender=...)``
+    resolution (smplify/smplify.py:50-68): a directory resolves to
+    ``<dir>/<TYPE>_<GENDER>.<ext>``; a file path substitutes the gender
+    token in its name when a sibling exists, else is used as-is.
+    """
+    genders = (gender.upper(), gender.lower())
+    if os.path.isdir(model_path):
+        for g in genders:
+            for ext in (".npz", ".pkl"):
+                cand = os.path.join(
+                    model_path, f"{smpl_type.upper()}_{g}{ext}"
+                )
+                if os.path.exists(cand):
+                    return cand
+        raise FileNotFoundError(
+            f"no {smpl_type.upper()}_{gender.upper()}.npz/.pkl under "
+            f"{model_path}"
+        )
+    base = os.path.basename(model_path)
+    for tok in ("NEUTRAL", "MALE", "FEMALE", "neutral", "male", "female"):
+        if tok in base:
+            for g in genders:
+                cand = os.path.join(
+                    os.path.dirname(model_path), base.replace(tok, g)
+                )
+                if os.path.exists(cand):
+                    return cand
+            break
+    return model_path
+
+
+def load_body_model(args, gender: str = "neutral") -> bm.BodyModel:
     if args.model_path and os.path.exists(args.model_path):
-        model = bm.load_model(args.model_path, model_type=args.smpl_type)
+        path = resolve_model_path(args.model_path, args.smpl_type, gender)
+        if gender != "neutral" and path == args.model_path and \
+                not os.path.isdir(args.model_path):
+            print(
+                f"WARNING: no {gender} variant of {args.model_path} "
+                "found; fitting with the given model", file=sys.stderr,
+            )
+        model = bm.load_model(path, model_type=args.smpl_type)
     else:
         print(
             "WARNING: no --model_path given; using a synthetic body model "
@@ -158,13 +200,16 @@ class Runner:
         self.gender = self._gender()
         self.use_hand_face = args.smpl_type == "smplx"
         self._native_detectors = None
-        self.model = load_body_model(args)
+        # gendered model, like the reference's BodyFitting(gender=...)
+        # (genebody_fitting.py:169 -> smplify.py:50-68)
+        self.model = load_body_model(args, gender=self.gender)
         self.prior = load_prior(args)
         self.hmr = (
             bf.HMRBundle.load(args.hmr_checkpoint, args.mean_params)
             if args.hmr_checkpoint else None
         )
         self.seqs = self._sequence()
+        self._debug_data = {}   # frame -> (images, c2ws, Ks, view ids)
         self._smpl_stage_model = None
         import threading
 
@@ -276,8 +321,11 @@ class Runner:
                     )
             else:
                 img = None
+            # linear, like the reference actually runs (its positional
+            # INTER_NEAREST is ignored by cv2 — see crop_and_resize);
+            # binarize_mask downstream re-thresholds the blended edges
             crop_msk = (
-                crop_and_resize(msk, bbox, size, nearest=True)
+                crop_and_resize(msk, bbox, size)
                 if view in self.mask_frames and self.args.use_mask else None
             )
             return (
@@ -399,6 +447,7 @@ class Runner:
             # fixed shapes so frames batch: all GT-mask views + a generous
             # contour budget (outer contour of a 512^2 person silhouette)
             mask_num_views=len(self.mask_frames),
+            mask_imsize=self.args.load_size,
             contour_pad=8 * self.args.load_size,
             contour_resample=self.args.contour_resample or None,
         )
@@ -410,6 +459,18 @@ class Runner:
             images[key_idx] if self.hmr else None, c2ws[key_idx], self.hmr
         )
         init = bf.init_params_from_hmr(self.model, betas, poses)
+        if self.args.debug:
+            # keep every render_skip-th decoded view for the reprojection
+            # overlays the reference writes in debug mode
+            # (body_fitting.py:101-107); --debug already forces the full
+            # per-view decode in load_view
+            step = 12
+            sel = [i for i in range(0, len(images), step)
+                   if images[i] is not None]
+            self._debug_data[frame] = (
+                [images[i] for i in sel], [c2ws[i] for i in sel],
+                [Ks[i] for i in sel], [use_frames[i] for i in sel],
+            )
         return obs, init
 
     def _smpl_init_stage(self, obs_list, init_list, config):
@@ -512,9 +573,15 @@ class Runner:
                 out_dir = os.path.join(
                     self.output_dir, "%06d" % frame, "smplify"
                 )
+                dbg = self._debug_data.pop(frame, None)
                 bf.save_frame_outputs(
                     out_dir, self.args.smpl_type, self.model, result,
-                    debug=False,
+                    images=dbg[0] if dbg else None,
+                    c2ws=dbg[1] if dbg else None,
+                    Ks=dbg[2] if dbg else None,
+                    use_frames=dbg[3] if dbg else None,
+                    render_skip=1,      # views pre-strided at capture
+                    debug=dbg is not None,
                 )
 
     def fit_batch(self, frames, inputs):

@@ -96,13 +96,22 @@ class Runner:
         self.use_hand_face = args.smpl_type == "smplx"
         self.subjects, self.meshfiles = discover_scans(args.target_dir)
         self.genders = self._genders()
-        self.model = load_body_model(args)
+        # per-gender model cache; self.model is re-pointed per subject in
+        # run() (the reference passes gender=... per scan, rp_fitting.py:152)
+        self._models = {}
+        self.model = self._model_for(self.genders[0]
+                                     if self.genders else "neutral")
         self.prior = load_prior(args)
         self.hmr = (
             bf.HMRBundle.load(args.hmr_checkpoint, args.mean_params)
             if args.hmr_checkpoint else None
         )
         self.disp = "smpld" in args.tasks
+
+    def _model_for(self, gender: str):
+        if gender not in self._models:
+            self._models[gender] = load_body_model(self.args, gender=gender)
+        return self._models[gender]
 
     def _genders(self):
         if self.args.info_dir and os.path.exists(self.args.info_dir):
@@ -304,10 +313,9 @@ class Runner:
                 texfit.displacement_map_to8b(dis_map, dis_cov),
             )
         if self.args.debug:
-            scan_face_uvs2 = scan.uvs[scan.face_uvs]
             texfit.render_compare(
                 (verts, np.asarray(self.model.faces), smpl_face_uvs, img),
-                (scan.verts, scan.faces, scan_face_uvs2, scan.texture),
+                (scan.verts, scan.faces, scan_face_uvs, scan.texture),
                 os.path.join(out_dir, "render"),
                 viewnum=36, imgsize=self.args.load_size,
             )
@@ -353,6 +361,7 @@ class Runner:
                 if items else None
             )
             for i, (subject, meshfile, gender) in enumerate(items):
+                self.model = self._model_for(gender)
                 data, keypoints = fut.result()
                 if i + 1 < len(items):
                     fut = prep.submit(

@@ -107,6 +107,7 @@ def build_observations(
     scan_faces: Optional[np.ndarray] = None,
     num_views: Optional[int] = None,
     mask_num_views: Optional[int] = None,
+    mask_imsize: Optional[int] = None,
     contour_pad: Optional[int] = None,
     contour_resample: Optional[int] = 512,
     build_sdf: bool = True,
@@ -145,7 +146,30 @@ def build_observations(
         constant_scale=jnp.asarray(constant_scale, jnp.float32),
         num_views_used=jnp.asarray(float(len(w2cs)), jnp.float32),
     )
-    if masks is not None and len(masks) > 0:
+    if (masks is not None and len(masks) == 0 and mask_num_views
+            and mask_imsize):
+        # a use_mask frame where every GT-mask view was dropped (empty
+        # masks / black frames): fully-inert mask observations — all-ones
+        # masks (stay-inside term sees nothing "outside"), zero-validity
+        # contours, identity cameras — so batched frames keep ONE pytree
+        # structure (mixing masks=None with arrays breaks jnp.stack)
+        P = contour_pad or 512
+        if contour_resample and P > contour_resample:
+            P = contour_resample
+        H = int(mask_imsize)
+        obs = dataclasses.replace(
+            obs,
+            masks=jnp.ones((mask_num_views, H, H), jnp.float32),
+            mask_w2cs=jnp.broadcast_to(
+                jnp.eye(4, dtype=jnp.float32), (mask_num_views, 4, 4)
+            ),
+            mask_Ks=jnp.broadcast_to(
+                jnp.eye(3, dtype=jnp.float32), (mask_num_views, 3, 3)
+            ),
+            contours=jnp.zeros((mask_num_views, P, 2), jnp.float32),
+            contour_valid=jnp.zeros((mask_num_views, P), jnp.float32),
+        )
+    elif masks is not None and len(masks) > 0:
         from bodyfitting_tpu.losses.silhouette import (
             binarize_mask,
             extract_contours,

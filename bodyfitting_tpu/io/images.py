@@ -75,11 +75,19 @@ def crop_and_resize(
     out_size: int,
     nearest: bool = False,
 ):
-    """Crop to the bbox and resize to ``out_size`` square (cv2)."""
+    """Crop to the bbox and resize to ``out_size`` square (cv2).
+
+    Interpolation is INTER_LINEAR for parity with what the reference
+    actually runs: genebody_fitting.py:124,130 pass INTER_CUBIC /
+    INTER_NEAREST *positionally*, which lands in cv2.resize's ignored
+    ``dst`` slot, so both its image and mask resizes execute the default
+    INTER_LINEAR (verified empirically).  ``nearest`` is kept for callers
+    that want true nearest-neighbour masks (non-parity use).
+    """
     import cv2
 
     top, left, bottom, right = bbox
-    interp = cv2.INTER_NEAREST if nearest else cv2.INTER_CUBIC
+    interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
     return cv2.resize(
         img[top:bottom, left:right].copy(), (out_size, out_size),
         interpolation=interp,

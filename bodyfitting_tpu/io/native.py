@@ -130,10 +130,23 @@ def parse_obj_native(path: str):
     faces = take_i(faces_p, nf.value)
     face_uvs = take_i(fuv_p, nf.value)
     face_normals = take_i(fn_p, nf.value)
-    if face_uvs is not None and (face_uvs < 0).all():
-        face_uvs = None
-    if face_normals is not None and (face_normals < 0).all():
-        face_normals = None
+    def drop_partial(arr, kind):
+        # -1 rows mark faces without vt/vn indices; partial coverage
+        # cannot be represented downstream (numpy fancy indexing wraps
+        # -1), so it degrades to None like the Python parser
+        if arr is None or not (arr < 0).any():
+            return arr
+        if not (arr < 0).all():
+            import warnings
+
+            warnings.warn(
+                f"{int((arr < 0).any(1).sum())}/{len(arr)} faces lack "
+                f"{kind} indices; dropping per-face {kind} entirely"
+            )
+        return None
+
+    face_uvs = drop_partial(face_uvs, "vt")
+    face_normals = drop_partial(face_normals, "vn")
     return (
         verts, uvs, normals, faces, face_uvs, face_normals,
         mtl.value.decode() or None,

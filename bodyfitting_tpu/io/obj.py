@@ -65,10 +65,7 @@ def load_obj(path: str, load_texture: bool = False,
     if use_native:
         from bodyfitting_tpu.io.native import parse_obj_native
 
-        try:
-            parsed = parse_obj_native(path)
-        except IOError:
-            raise
+        parsed = parse_obj_native(path)   # None -> pure-Python fallback
         if parsed is not None:
             verts, uvs, normals, faces, face_uvs, face_normals, mtl = parsed
             texture = None
@@ -113,14 +110,22 @@ def load_obj(path: str, load_texture: bool = False,
                     faces.append(
                         [_resolve_index(c[0], len(verts)) for c in tri]
                     )
+                    # keep per-face ALIGNMENT with faces: a face without
+                    # vt/vn indices records a -1 row (resolved to None or
+                    # a warning at return), never a shorter list whose
+                    # rows silently pair with the wrong faces
                     if all(len(c) > 1 and c[1] for c in tri):
                         face_uvs.append(
                             [_resolve_index(c[1], len(uvs)) for c in tri]
                         )
+                    else:
+                        face_uvs.append([-1, -1, -1])
                     if all(len(c) > 2 and c[2] for c in tri):
                         face_normals.append(
                             [_resolve_index(c[2], len(normals)) for c in tri]
                         )
+                    else:
+                        face_normals.append([-1, -1, -1])
 
     texture = None
     mtl_name = None
@@ -134,16 +139,36 @@ def load_obj(path: str, load_texture: bool = False,
         verts=np.asarray(verts, np.float32),
         faces=np.asarray(faces, np.int32).reshape(-1, 3),
         uvs=np.asarray(uvs, np.float32) if uvs else None,
-        face_uvs=(
-            np.asarray(face_uvs, np.int32) if face_uvs else None
-        ),
+        face_uvs=_validate_face_attr(face_uvs, "vt", path),
         normals=np.asarray(normals, np.float32) if normals else None,
-        face_normals=(
-            np.asarray(face_normals, np.int32) if face_normals else None
-        ),
+        face_normals=_validate_face_attr(face_normals, "vn", path),
         texture=texture,
         mtl_name=mtl_name,
     )
+
+
+def _validate_face_attr(rows, kind: str, path: str):
+    """faces-aligned attr index array, or None when absent/partial.
+
+    Partial coverage (only some faces carry vt/vn) cannot be represented
+    downstream (-1 would wrap to index -1 in numpy fancy indexing), so it
+    degrades to None with a warning instead of silently mispairing.
+    """
+    if not rows:
+        return None
+    arr = np.asarray(rows, np.int32)
+    bad = arr < 0
+    if bad.all():
+        return None
+    if bad.any():
+        import warnings
+
+        warnings.warn(
+            f"{path}: {int(bad.any(1).sum())}/{len(arr)} faces lack "
+            f"{kind} indices; dropping per-face {kind} entirely"
+        )
+        return None
+    return arr
 
 
 def save_obj(path: str, verts: np.ndarray, faces: np.ndarray,

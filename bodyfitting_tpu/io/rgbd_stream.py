@@ -88,10 +88,20 @@ class RGBDStreamDecoder:
             if nxt > file_size:
                 break
             self.frame_offsets.append(nxt)
-        # trailing offset may point past the end when frame_count was 0
-        last = self.frame_offsets[-1]
-        if last + 16 > file_size:
-            self.frame_offsets.pop()
+        # drop trailing truncated frames (recorder killed mid-frame):
+        # an offset is only a frame if its header AND payload fit
+        while self.frame_offsets:
+            last = self.frame_offsets[-1]
+            if last + 16 > file_size:
+                self.frame_offsets.pop()
+                continue
+            self._f.seek(last)
+            _, color_sz = self._read("<QQ")
+            end = last + 3 * 8 + color_sz + self.depth_size + self.index_size
+            if end > file_size:
+                self.frame_offsets.pop()
+                continue
+            break
         self.frame_count = len(self.frame_offsets)
 
     def get_frame(self, idx: int) -> Optional[RGBDFrame]:
@@ -162,7 +172,10 @@ def write_rgbd_stream(
             "<16f", *np.asarray(ext, np.float32).reshape(-1)
         ))
         for i, (c, d, ix) in enumerate(zip(colors, depths16, indices)):
-            ts = timestamps[i] if timestamps else i
+            # `is not None` + length: plain truthiness raises on numpy
+            # timestamp arrays ("truth value ... is ambiguous")
+            has_ts = timestamps is not None and len(timestamps) > 0
+            ts = int(timestamps[i]) if has_ts else i
             ok, jpg = cv2.imencode(".jpg", c)
             assert ok
             f.write(struct.pack("<QQ", ts, len(jpg)))

@@ -219,3 +219,77 @@ def test_imread_checked(tmp_path):
     assert msk.shape == (4, 5)
     with pytest.raises(FileNotFoundError, match="nope.png"):
         bio.imread_checked(str(tmp_path / "nope.png"))
+
+
+def test_obj_partial_face_uvs_degrade_to_none(tmp_path):
+    """Faces with and without vt indices: per-face UVs must not silently
+    mispair (Python parser) or carry -1 sentinels (native parser) — both
+    degrade to face_uvs=None with a warning."""
+    src = tmp_path / "partial.obj"
+    src.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 0 1\n"
+        "f 1/1 2/2 3/3\n"
+        "f 2 4 3\n"              # no vt on this face
+    )
+    for use_native in (False, True):
+        with pytest.warns(UserWarning, match="lack vt"):
+            mesh = bio.load_obj(str(src), use_native=use_native)
+        assert mesh.faces.shape == (2, 3)
+        assert mesh.face_uvs is None, f"use_native={use_native}"
+        assert mesh.uvs is not None
+
+
+def test_rgbd_stream_truncated_final_frame(tmp_path):
+    rng = np.random.default_rng(0)
+    colors = [rng.integers(0, 255, size=(8, 8, 3)).astype(np.uint8)
+              for _ in range(3)]
+    depths = [rng.integers(0, 1000, size=(4, 4)).astype(np.uint16)
+              for _ in range(3)]
+    indices = [np.zeros((4, 4), np.uint16) for _ in range(3)]
+    path = str(tmp_path / "cap.stream")
+    from bodyfitting_tpu.io import rgbd_stream as rs
+
+    rs.write_rgbd_stream(
+        path, colors, depths, indices,
+        timestamps=np.array([10, 20, 30]),     # numpy array must work
+    )
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[:-7])          # kill mid-final-frame
+    dec = rs.RGBDStreamDecoder(path)
+    assert dec.frame_count == 2                # truncated frame dropped
+    fr = dec.get_frame(1)
+    assert fr is not None and fr.color_timestamp == 20
+
+
+def test_build_observations_empty_masks_keeps_structure():
+    """A use_mask frame whose GT-mask views were all dropped must produce
+    the same Observations pytree structure as a frame with masks, so
+    batched fits can stack them."""
+    import jax
+
+    from bodyfitting_tpu.fitting import body_fitting as bf
+
+    K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]], np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    kp = {"pose": np.full((25, 3), 0.5, np.float32)}
+    msk = np.zeros((64, 64), np.float32)
+    msk[16:48, 16:48] = 1.0
+
+    common = dict(
+        c2ws=[c2w] * 2, Ks=[K] * 2, keypoints=[kp, kp],
+        use_hand_face=False, mask_c2ws=[c2w], mask_Ks=[K],
+        num_views=2, mask_num_views=2, mask_imsize=64,
+        contour_pad=512, contour_resample=96,
+    )
+    with_masks = bf.build_observations(masks=[msk], **common)
+    no_masks = bf.build_observations(masks=[], **common)
+    assert (jax.tree_util.tree_structure(with_masks)
+            == jax.tree_util.tree_structure(no_masks))
+    stacked = jax.tree.map(
+        lambda *xs: np.stack(xs), with_masks, no_masks
+    )
+    assert stacked.masks.shape == (2, 2, 64, 64)
+    # the inert frame contributes nothing: all-ones masks, zero validity
+    assert float(np.asarray(no_masks.contour_valid).sum()) == 0.0
+    assert float(np.asarray(no_masks.masks).min()) == 1.0

@@ -60,10 +60,14 @@ def test_native_mixed_face_forms(lib, tmp_path):
         "f 1/1/1 2/2/1 3/3/1\n"
         "f 1//1 2//1 3//1\n"
     )
-    mesh = load_obj(str(path), use_native=True)
+    import pytest
+
+    with pytest.warns(UserWarning, match="lack vt"):
+        mesh = load_obj(str(path), use_native=True)
     assert mesh.faces.shape == (2, 3)
-    np.testing.assert_array_equal(mesh.face_uvs[0], [0, 1, 2])
-    assert (mesh.face_uvs[1] == -1).all()       # v//n form has no uv
+    # partial vt coverage degrades to None (numpy fancy indexing would
+    # wrap the -1 sentinels to uvs[-1], silently mispairing textures)
+    assert mesh.face_uvs is None
     np.testing.assert_array_equal(mesh.face_normals, np.zeros((2, 3)))
 
 
