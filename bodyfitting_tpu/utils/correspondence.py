@@ -12,7 +12,7 @@ import numpy as np
 
 
 def match_vertices(
-    src_verts: np.ndarray, dst_verts: np.ndarray, block: int = 4096
+    src_verts: np.ndarray, dst_verts: np.ndarray
 ) -> np.ndarray:
     """Indices ``perm`` minimising total ||src - dst[perm]|| (Hungarian).
 
@@ -25,7 +25,11 @@ def match_vertices(
     src = np.asarray(src_verts, np.float64)
     dst = np.asarray(dst_verts, np.float64)
     assert src.shape == dst.shape, (src.shape, dst.shape)
-    d2 = ((src[:, None, :] - dst[None, :, :]) ** 2).sum(-1)
+    # cdist: the broadcast form materialised an (N, N, 3) f64 temp
+    # (~1.1 GB at 6890 verts) for the same matrix
+    from scipy.spatial.distance import cdist
+
+    d2 = cdist(src, dst, "sqeuclidean")
     row, col = linear_sum_assignment(d2)
     perm = np.empty(len(src), np.int64)
     perm[row] = col

@@ -16,13 +16,14 @@ for i in [0, 2, 1, 3, 5, 4, 6, 8, 7, 9, 11, 10, 12, 14, 13, 15, 17, 16, 19,
           18, 21, 20, 23, 22]:
     SMPL_POSE_FLIP_PERM.extend([3 * i, 3 * i + 1, 3 * i + 2])
 
-# SPIN 49-joint left-right swap (OpenPose 25 + 24 GT joints).
+# SPIN left-right swaps: the 24 GT joints alone (J24) and OpenPose 25 +
+# the 24 GT joints (J49).
+J24_FLIP_PERM = [5, 4, 3, 2, 1, 0, 11, 10, 9, 8, 7, 6, 12, 13, 14, 15, 16,
+                 17, 18, 19, 21, 20, 23, 22]
 SPIN_JOINT_FLIP_PERM = (
     [0, 1, 5, 6, 7, 2, 3, 4, 8, 12, 13, 14, 9, 10, 11, 16, 15, 18, 17,
      22, 23, 24, 19, 20, 21]
-    + [25 + i for i in
-       [5, 4, 3, 2, 1, 0, 11, 10, 9, 8, 7, 6, 12, 13, 14, 15, 16, 17, 18,
-        19, 21, 20, 23, 22]]
+    + [25 + i for i in J24_FLIP_PERM]
 )
 
 
@@ -147,8 +148,11 @@ def flip_img(img):
 
 
 def flip_kp(kp):
-    """Flip SPIN-49 keypoints left<->right (reference imutils.py:137-146)."""
-    kp = kp[SPIN_JOINT_FLIP_PERM]
+    """Flip SPIN keypoints left<->right (reference imutils.py:137-146):
+    dispatches on 24 GT joints vs the 49-joint superset, like the
+    reference."""
+    perm = J24_FLIP_PERM if len(kp) == 24 else SPIN_JOINT_FLIP_PERM
+    kp = kp[perm]
     kp = kp.copy()
     kp[:, 0] = -kp[:, 0]
     return kp

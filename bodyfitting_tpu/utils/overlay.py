@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
+
 import jax.numpy as jnp
 
 
@@ -29,14 +31,17 @@ def render_mesh_overlay(
     from bodyfitting_tpu.ops import rasterize as rz
     from bodyfitting_tpu.losses.mesh import compute_face_normals
 
-    H = image.shape[0]
+    H, W = image.shape[:2]
     verts = jnp.asarray(verts, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     w2c = jnp.asarray(w2c, jnp.float32)
     K = jnp.asarray(K, jnp.float32)
 
     px, fz = rz.project_faces(verts, faces, w2c, K)
-    raster = rz.rasterize(px, fz, H)
+    # the rasterizer is square; render max(H, W)^2 and crop — pixel
+    # coordinates are absolute, so [:H, :W] is exactly the image window
+    raster = rz.rasterize(px, fz, max(H, W))
+    raster = jax.tree.map(lambda m: m[:H, :W], raster)
 
     # per-face lambertian intensity in camera space
     fn = compute_face_normals(verts, faces)

@@ -27,8 +27,11 @@ def depth_colorize(depth: np.ndarray, max_depth: float = None) -> np.ndarray:
     dmin = float(d[valid].min())
     norm = np.zeros_like(d)
     norm[valid] = (d[valid] - dmin) / max(dmax - dmin, 1e-6)
+    # clamp BEFORE the uint8 cast (reference reconstruction_utils.py:18-20):
+    # depths past max_depth would otherwise wrap modulo 256 into arbitrary
+    # mid-range colormap colors
     img = cv2.applyColorMap(
-        (norm * 255).astype(np.uint8), cv2.COLORMAP_JET
+        np.clip(norm * 255, 0, 255).astype(np.uint8), cv2.COLORMAP_JET
     )
     img[~valid] = 0
     return img

@@ -46,7 +46,6 @@ def per_face_atlas(
     cells = int(math.ceil(math.sqrt(math.ceil(num_faces / 2))))
     c = 1.0 / cells
     m = margin_frac * c
-    uvs = np.empty((num_faces, 3, 2), np.float32)
     idx = np.arange(num_faces)
     cell_id = idx // 2
     cx = (cell_id % cells).astype(np.float32) * c

@@ -9,8 +9,6 @@
 //   * parse_obj  — a single-pass OBJ parser (v/vt/vn/f with v, v/t, v//n,
 //     v/t/n forms, negative indices, polygon fan triangulation) returning
 //     packed float/int buffers.
-//   * obj_counts — cheap pre-pass used by callers that want to
-//     preallocate.
 //   * free_f32 / free_i32 — buffer disposal for ctypes.
 //
 // Build: g++ -O3 -march=native -shared -fPIC bodyfit_native.cpp -o
@@ -31,7 +29,16 @@ struct Buf {
 };
 
 inline void skip_ws(Buf& b) {
-  while (b.p < b.end && (*b.p == ' ' || *b.p == '\t' || *b.p == '\r')) ++b.p;
+  // every whitespace EXCEPT newline: parsing must never cross a line
+  while (b.p < b.end && (*b.p == ' ' || *b.p == '\t' || *b.p == '\r' ||
+                         *b.p == '\v' || *b.p == '\f'))
+    ++b.p;
+}
+
+inline bool at_number(const Buf& b) {
+  return b.p < b.end &&
+         (*b.p == '-' || *b.p == '+' || *b.p == '.' ||
+          (*b.p >= '0' && *b.p <= '9'));
 }
 
 inline void skip_line(Buf& b) {
@@ -41,6 +48,9 @@ inline void skip_line(Buf& b) {
 
 inline bool parse_float(Buf& b, float* out) {
   skip_ws(b);
+  // strtof skips whitespace INCLUDING newlines: a short line would steal
+  // the next line's number and corrupt the mesh — stop at end-of-line
+  if (!at_number(b)) return false;
   char* endp = nullptr;
   float v = strtof(b.p, &endp);
   if (endp == b.p) return false;
@@ -51,6 +61,7 @@ inline bool parse_float(Buf& b, float* out) {
 
 inline bool parse_int(Buf& b, long* out) {
   skip_ws(b);
+  if (!at_number(b)) return false;
   char* endp = nullptr;
   long v = strtol(b.p, &endp, 10);
   if (endp == b.p) return false;
@@ -69,7 +80,10 @@ inline bool parse_corner(Buf& b, Corner* c) {
   if (!parse_int(b, &c->v)) return false;
   if (b.p < b.end && *b.p == '/') {
     ++b.p;
-    if (b.p < b.end && *b.p != '/') {
+    // digit check BEFORE strtol: a trailing-slash corner ("f 1/ 2/ 3/")
+    // must not let strtol skip whitespace and steal the next corner's
+    // vertex index as this corner's vt
+    if (at_number(b)) {
       char* endp = nullptr;
       long t = strtol(b.p, &endp, 10);
       if (endp != b.p) {
@@ -80,12 +94,14 @@ inline bool parse_corner(Buf& b, Corner* c) {
     }
     if (b.p < b.end && *b.p == '/') {
       ++b.p;
-      char* endp = nullptr;
-      long n = strtol(b.p, &endp, 10);
-      if (endp != b.p) {
-        c->vn = n;
-        c->has_vn = true;
-        b.p = endp;
+      if (at_number(b)) {
+        char* endp = nullptr;
+        long n = strtol(b.p, &endp, 10);
+        if (endp != b.p) {
+          c->vn = n;
+          c->has_vn = true;
+          b.p = endp;
+        }
       }
     }
   }

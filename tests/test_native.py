@@ -150,3 +150,35 @@ def test_native_empty_and_missing(lib, tmp_path):
     assert m.verts.shape[0] == 0 and m.faces.shape[0] == 0
     with pytest.raises(IOError):
         load_obj(str(tmp_path / "nonexistent.obj"), use_native=True)
+
+
+def test_native_short_line_does_not_cross_newline(lib, tmp_path):
+    """strtof/strtol skip whitespace incl. newlines: a truncated 'v' line
+    must zero-fill, not steal the next line's number and drop that line."""
+    path = tmp_path / "short.obj"
+    path.write_text(
+        "v 1 2\n"          # truncated: z missing
+        "v -3 -4 -5\n"
+        "v 6 7 8\n"
+        "f 1 2 3\n"
+    )
+    mesh = load_obj(str(path), use_native=True)
+    assert mesh.verts.shape == (3, 3)
+    np.testing.assert_allclose(mesh.verts[0], [1, 2, 0])   # zero-filled
+    np.testing.assert_allclose(mesh.verts[1], [-3, -4, -5])
+    np.testing.assert_allclose(mesh.verts[2], [6, 7, 8])
+    assert mesh.faces.shape == (1, 3)
+
+
+def test_native_trailing_slash_corners(lib, tmp_path):
+    """'f 1/ 2/ 3/' (exporters emitting empty vt slots) must keep the
+    face instead of strtol stealing the next corner's vertex index."""
+    path = tmp_path / "slash.obj"
+    path.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "f 1/ 2/ 3/\n"
+    )
+    mesh = load_obj(str(path), use_native=True)
+    assert mesh.faces.shape == (1, 3)
+    np.testing.assert_array_equal(mesh.faces[0], [0, 1, 2])
+    assert mesh.face_uvs is None

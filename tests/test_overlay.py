@@ -37,3 +37,23 @@ def test_render_fit_overlays_cadence():
     result = {"vertices": jnp.asarray(verts)}
     outs = render_fit_overlays(images, result, faces, c2ws, Ks, skip=12)
     assert [i for i, _ in outs] == [0, 12, 24]
+
+
+def test_render_mesh_overlay_non_square_image():
+    """Overlays on standard 16:9 (or any non-square) frames must work —
+    the rasterizer is square internally but the blend is image-shaped."""
+    import numpy as np
+
+    from bodyfitting_tpu.utils.overlay import render_mesh_overlay
+
+    img = np.full((48, 64, 3), 50, np.uint8)
+    verts = np.asarray(
+        [[-0.2, -0.2, 0.0], [0.2, -0.2, 0.0], [0.0, 0.3, 0.0]], np.float32
+    )
+    faces = np.asarray([[0, 1, 2]], np.int32)
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 2.0
+    K = np.asarray([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+    out = render_mesh_overlay(img, verts, faces, w2c, K)
+    assert out.shape == (48, 64, 3)
+    assert (out != 50).any()          # the triangle actually rendered

@@ -125,3 +125,26 @@ def test_cam_pose_vis_writes_obj(tmp_path):
     mesh = load_obj(path)
     assert mesh.verts.shape == (18, 3)    # 6 verts per camera
     assert mesh.faces.shape == (15, 3)    # 5 faces per camera
+
+
+def test_flip_kp_24_and_49():
+    """flip_kp dispatches on joint count like the reference
+    (imutils.py:137-146): 24 GT joints and the 49-joint superset."""
+    from bodyfitting_tpu.utils.imutils import (
+        J24_FLIP_PERM, SPIN_JOINT_FLIP_PERM, flip_kp,
+    )
+
+    rng = np.random.default_rng(0)
+    kp24 = rng.normal(size=(24, 3))
+    out24 = flip_kp(kp24.copy())
+    np.testing.assert_allclose(out24[:, 1:], kp24[J24_FLIP_PERM][:, 1:])
+    np.testing.assert_allclose(out24[:, 0], -kp24[J24_FLIP_PERM][:, 0])
+
+    kp49 = rng.normal(size=(49, 3))
+    out49 = flip_kp(kp49.copy())
+    np.testing.assert_allclose(
+        out49[:, 0], -kp49[SPIN_JOINT_FLIP_PERM][:, 0]
+    )
+    # involution: flipping twice is identity
+    np.testing.assert_allclose(flip_kp(out24), kp24, atol=1e-12)
+    np.testing.assert_allclose(flip_kp(out49), kp49, atol=1e-12)
