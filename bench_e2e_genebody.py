@@ -79,16 +79,26 @@ def make_dataset(root: str, n_frames: int, size: int = 512, seed: int = 0):
     img = rng.integers(50, 255, size=(size, size, 3)).astype(np.uint8)
     msk = np.zeros((size, size), np.uint8)
     msk[size // 8: 7 * size // 8, 5 * size // 16: 11 * size // 16] = 255
+    # encode ONCE, copy bytes: re-encoding the identical image 48*n_frames
+    # times wastes minutes on this 1-CPU host
+    import io as _io
+
+    jpg_buf = _io.BytesIO()
+    imageio.imwrite(jpg_buf, img, format="jpeg")
+    jpg = jpg_buf.getvalue()
+    png_buf = _io.BytesIO()
+    imageio.imwrite(png_buf, msk, format="png")
+    png = png_buf.getvalue()
     for v in range(n_views):
         os.makedirs(os.path.join(sub, "image", "%02d" % v), exist_ok=True)
         os.makedirs(os.path.join(sub, "mask", "%02d" % v), exist_ok=True)
         for fr in range(n_frames):
-            imageio.imwrite(
-                os.path.join(sub, "image", "%02d" % v, "%04d.jpg" % fr),
-                img)
-            imageio.imwrite(
-                os.path.join(sub, "mask", "%02d" % v, "%04d.png" % fr),
-                msk)
+            with open(os.path.join(sub, "image", "%02d" % v,
+                                   "%04d.jpg" % fr), "wb") as f:
+                f.write(jpg)
+            with open(os.path.join(sub, "mask", "%02d" % v,
+                                   "%04d.png" % fr), "wb") as f:
+                f.write(png)
     return subject, frames_kp, Ks
 
 

@@ -39,10 +39,20 @@ def build_scan(n_base: int = 40000, seed: int = 3):
     hull = ConvexHull(pts)
     verts = pts.astype(np.float32)
     faces = hull.simplices.astype(np.int32)
-    # hull gives ~2*n_surface faces; tile with jittered copies to reach ~80k
-    all_f = [faces]
+    # hull gives ~2*n_surface faces; reach ~80k with GENUINELY jittered
+    # shell copies (distinct vertices, not duplicated faces) so the exact
+    # sweep really pays for 80k distinct triangles and the SDF accuracy
+    # comparison sees layered, non-convex local geometry
+    all_v, all_f = [verts], [faces]
+    nv = verts.shape[0]
     while sum(f.shape[0] for f in all_f) < 78000:
-        all_f.append(faces)
+        jit_v = verts + rng.normal(
+            scale=0.004, size=verts.shape
+        ).astype(np.float32)
+        all_f.append(faces + nv)
+        all_v.append(jit_v)
+        nv += verts.shape[0]
+    verts = np.concatenate(all_v)
     faces = np.concatenate(all_f)[:80000]
     return jnp.asarray(verts), jnp.asarray(faces)
 
@@ -81,7 +91,9 @@ def run(impl: str, scan_verts, scan_faces, num_iters: int):
     if impl == "sdf":
         t0 = time.perf_counter()
         vol = sdf.build_distance_volume(scan_verts, scan_faces)
-        jax.block_until_ready(vol.dist)
+        # fetch to host: over the tunnel block_until_ready can return
+        # before execution finishes (CLAUDE.md)
+        float(np.asarray(vol.dist).ravel()[0])
         t_build = time.perf_counter() - t0
         import dataclasses
 
@@ -131,7 +143,7 @@ def run(impl: str, scan_verts, scan_faces, num_iters: int):
     while done < num_iters:
         n = min(chunk, num_iters - done)
         (disp, opt_state), dl = disp_chunk_jit(disp, opt_state, n)
-        dl.block_until_ready()
+        float(dl[-1])          # host fetch, not just block_until_ready
         done += n
     result["displacement"] = disp
     wall = time.perf_counter() - t0

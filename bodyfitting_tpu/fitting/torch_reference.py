@@ -51,10 +51,13 @@ class TorchBodyModel:
     dyn_lmk_bary_coords: Optional[torch.Tensor]
     selector_ids: Optional[torch.Tensor]
     joint_mapper: Optional[torch.Tensor]
+    extra_joint_regressor: Optional[torch.Tensor]  # [9, V] SPIN joints
+    kid_shape_dir: Optional[torch.Tensor]          # [3V] SMIL blend dir
     model_type: str
     parents: tuple
     neck_chain: tuple
     num_hand_pca: int
+    hand_use_pca: bool
     flat_hand_mean: bool
     use_face_contour: bool
 
@@ -87,10 +90,13 @@ def torch_model_from_jax(model, dtype=torch.float32) -> TorchBodyModel:
         dyn_lmk_bary_coords=t(model.dyn_lmk_bary_coords),
         selector_ids=t(model.selector_ids, as_long=True),
         joint_mapper=t(model.joint_mapper, as_long=True),
+        extra_joint_regressor=t(model.extra_joint_regressor),
+        kid_shape_dir=t(model.kid_shape_dir),
         model_type=model.model_type,
         parents=tuple(model.parents),
         neck_chain=tuple(model.neck_chain),
         num_hand_pca=model.num_hand_pca,
+        hand_use_pca=model.hand_use_pca,
         flat_hand_mean=model.flat_hand_mean,
         use_face_contour=model.use_face_contour,
     )
@@ -128,7 +134,9 @@ def full_pose_aa(md: TorchBodyModel, p: Dict[str, torch.Tensor]) -> torch.Tensor
         return torch.cat([p["global_orient"], p["body_pose"]])
 
     def hand(coeffs, comps, mean):
-        aa = coeffs @ comps[: coeffs.shape[-1]]
+        # full [45] axis-angle when hand_use_pca=False, like the JAX model
+        aa = (coeffs @ comps[: coeffs.shape[-1]]
+              if md.hand_use_pca else coeffs)
         if not md.flat_hand_mean:
             aa = aa + mean
         return aa
@@ -155,9 +163,13 @@ def forward(md: TorchBodyModel, p: Dict[str, torch.Tensor]):
     V = md.v_template.shape[0]
     pose = full_pose_aa(md, p)
 
-    v_shaped = md.v_template + (p["betas"] @ md.shapedirs).reshape(V, 3)
+    betas = p["betas"]
+    shape_betas = betas[:-1] if md.kid_shape_dir is not None else betas
+    v_shaped = md.v_template + (shape_betas @ md.shapedirs).reshape(V, 3)
     if md.expr_dirs is not None and "expression" in p:
         v_shaped = v_shaped + (p["expression"] @ md.expr_dirs).reshape(V, 3)
+    if md.kid_shape_dir is not None:
+        v_shaped = v_shaped + betas[-1] * md.kid_shape_dir.reshape(V, 3)
 
     rest_joints = md.J_regressor @ v_shaped                    # [J, 3]
     rot = batch_rodrigues(pose.reshape(-1, 3))                 # [J, 3, 3]
@@ -219,6 +231,10 @@ def forward(md: TorchBodyModel, p: Dict[str, torch.Tensor]):
         tri_verts = verts[md.faces[lmk_faces]]                 # [L, 3, 3]
         landmarks = torch.einsum("lvc,lv->lc", tri_verts, lmk_bary)
         joints = torch.cat([joints, landmarks], dim=0)
+    if md.model_type == "smpl" and md.extra_joint_regressor is not None:
+        # SPIN: 9 regressed joints appended before the 49-joint permute
+        # (reference models/smpl.py:69-83)
+        joints = torch.cat([joints, md.extra_joint_regressor @ verts], dim=0)
     if md.joint_mapper is not None:
         joints = joints[md.joint_mapper]
     return verts, joints, pose

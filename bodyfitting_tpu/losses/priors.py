@@ -35,7 +35,9 @@ class MaxMixturePrior:
         diff = pose[..., None, :] - self.means              # [..., K, D]
         pd = jnp.einsum(
             "kij,...kj->...ki", self.precisions, diff,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.promote_types(
+                self.precisions.dtype, diff.dtype
+            ),
         )
         quad = jnp.sum(pd * diff, axis=-1)                  # [..., K]
         nll = 0.5 * quad - self.log_nll_weights

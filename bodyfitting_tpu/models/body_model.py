@@ -318,13 +318,23 @@ jax.tree_util.register_dataclass(
 
 def blend_shapes(coeffs: jax.Array, dirs: jax.Array) -> jax.Array:
     """``[S]`` coefficients x ``[S, 3V]`` basis -> ``[V, 3]`` offsets."""
-    out = jnp.matmul(coeffs, dirs, preferred_element_type=jnp.float32)
+    # accumulate in the INPUT precision: a hardcoded f32 preferred type
+    # silently downcast f64 parity runs (parity_fit.py) to f32
+    out = jnp.matmul(
+        coeffs, dirs,
+        preferred_element_type=jnp.promote_types(coeffs.dtype, dirs.dtype),
+    )
     return out.reshape(dirs.shape[-1] // 3, 3)
 
 
 def vertices2joints(J_regressor: jax.Array, verts: jax.Array) -> jax.Array:
     """Regress joint locations ``[J, 3]`` from vertices ``[V, 3]``."""
-    return jnp.matmul(J_regressor, verts, preferred_element_type=jnp.float32)
+    return jnp.matmul(
+        J_regressor, verts,
+        preferred_element_type=jnp.promote_types(
+            J_regressor.dtype, verts.dtype
+        ),
+    )
 
 
 def rigid_transform_chain(
@@ -379,8 +389,12 @@ def _full_pose(model: BodyModel, p: BodyParams) -> jax.Array:
     def hand_aa(coeffs, components, mean):
         if model.hand_use_pca:
             # PCA coefficients through the basis (smplx use_pca=True)
-            aa = jnp.matmul(coeffs, components[: coeffs.shape[-1]],
-                            preferred_element_type=jnp.float32)
+            aa = jnp.matmul(
+                coeffs, components[: coeffs.shape[-1]],
+                preferred_element_type=jnp.promote_types(
+                    coeffs.dtype, components.dtype
+                ),
+            )
         else:
             # full [45] axis-angle pose (smplx use_pca=False)
             aa = coeffs
@@ -519,7 +533,10 @@ def lbs(model: BodyModel, params: BodyParams):
         verts = make_fused_skinning(model.lbs_weights)(A12, v_posed)
     else:
         T = jnp.matmul(
-            model.lbs_weights, A12, preferred_element_type=jnp.float32
+            model.lbs_weights, A12,
+            preferred_element_type=jnp.promote_types(
+                model.lbs_weights.dtype, A12.dtype
+            ),
         ).reshape(model.num_verts, 3, 4)
         verts = (
             jnp.einsum("vij,vj->vi", T[:, :, :3], v_posed) + T[:, :, 3]

@@ -809,6 +809,9 @@ def contour_min_idx(
 def skinning_xla(weights: jax.Array, A12: jax.Array,
                  v_posed: jax.Array) -> jax.Array:
     """Pure-XLA reference skinning (what lbs() does without the kernel)."""
-    T = jnp.matmul(weights, A12, preferred_element_type=jnp.float32)
+    T = jnp.matmul(
+        weights, A12,
+        preferred_element_type=jnp.promote_types(weights.dtype, A12.dtype),
+    )
     T = T.reshape(weights.shape[0], 3, 4)
     return jnp.einsum("vij,vj->vi", T[:, :, :3], v_posed) + T[:, :, 3]

@@ -239,24 +239,30 @@ def write_parity_md(reports):
             f" {r['torch_wall_s']:.0f} / {r['jax_cpu_wall_s']:.0f} |"
             for r in reports),
         "",
-        "**Reading the table**: in float64 the two engines' 600-iteration "
-        "trajectories stay locked (loss rel diff ~1e-8) and the converged "
-        "vertices agree to ~1e-5 mm — the engines implement the same "
-        "mathematics, which is the substance of the <=1mm north star "
+        "**Reading the table**: in float64 the two engines' full-length "
+        f"trajectories stay locked (loss rel diff max "
+        f"{primary['loss_rel_diff_max']:.1e}) and the converged vertices "
+        f"agree to {primary['mean_vertex_dev_mm']:.2e} mm — the engines "
+        "implement the same mathematics, which is the substance of the "
+        "<=1mm north star "
         "(**" + ("met" if primary["mean_vertex_dev_mm"] <= 1.0 else "NOT met")
-        + "**).  The float32 column measures the *problem's* trajectory "
-        "sensitivity, not an engine difference: a 600-step Adam descent "
-        "through gmof saturation and the discrete dynamic-landmark switch "
-        "amplifies single-ulp rounding differences, so any two float32 "
-        "builds of the reference itself (different BLAS, different GPU) "
-        "would diverge comparably.",
+        + "**).  The float32 column measures residual trajectory "
+        "sensitivity at single precision, not an engine difference: any "
+        "two float32 builds of the reference itself (different BLAS, "
+        "different GPU) would diverge comparably or more.",
         "",
     ]
     path = os.path.join(os.path.dirname(__file__), "PARITY.md")
     with open(path) as f:
         text = f.read()
     if marker in text:
-        text = text[: text.index(marker)].rstrip() + "\n\n"
+        # splice out ONLY the marker's section: everything up to the
+        # marker plus any later "## " section (truncating to EOF would
+        # destroy sections added after this one)
+        head, rest = text.split(marker, 1)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1:] if nxt != -1 else ""
+        text = head.rstrip() + ("\n\n" + tail if tail else "\n\n")
     text = text.rstrip() + "\n\n" + "\n".join(lines)
     with open(path, "w") as f:
         f.write(text)
@@ -303,8 +309,15 @@ def main():
     if args.emit_report:
         print(json.dumps(reports[0]))
         return 0
-    if not args.quick:
+    if not args.quick and args.dtype == "f64":
         write_parity_md(reports)
+    elif not args.quick:
+        # f32 full runs measure trajectory chaos, not engine parity
+        # (CLAUDE.md: parity claims must be established in float64) —
+        # never publish them to PARITY.md or gate the north star on them
+        print("NOTE: --dtype f32 runs are diagnostic only; PARITY.md "
+              "not updated and no verdict gated", file=sys.stderr)
+        return 0
     report = reports[0]
     ok = report["mean_vertex_dev_mm"] <= 1.0
     print(json.dumps({
