@@ -29,6 +29,7 @@ import numpy as np
 import optax
 
 from bodyfitting_tpu.ops import rasterize as rz
+from bodyfitting_tpu.ops import uv_sample as uvs
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +49,12 @@ class TextureFitConfig:
     # only); the reference schedule is ~64% unique, where re-rasterising
     # is on par, so the default keeps the reference behaviour.
     precompute: bool = False
+    # precompute mode only: replace the per-pixel texture gathers with
+    # host-bucketed one-hot matmuls on the MXU (ops/uv_sample.py) — same
+    # loss values, ~free vs the 51 ms/iter gather sampler on the chip
+    bucketed_uv: bool = True
+    uv_chunk: int = 2048
+    uv_window_rows: int = 8
 
 
 # ---------------------------------------------------------------------------
@@ -287,6 +294,47 @@ def fit_texture(
                      smpl_faces, smpl_face_uvs)
             for i in range(uniq_poses.shape[0])
         ]
+
+        if config.bucketed_uv:
+            # One-hot MXU sampling plans: pixel->texel taps bucketed on the
+            # host once, each Adam step is two dense matmuls per work item
+            # (ops/uv_sample.py; same loss value as the gather path below)
+            plans = [
+                uvs.build_uv_sample_plan(
+                    np.asarray(m[1]), np.asarray(m[2]), np.asarray(m[0]),
+                    S, background=1.0, chunk=config.uv_chunk,
+                    window_rows=config.uv_window_rows,
+                )
+                for m in per_pose
+            ]
+            stacked = uvs.stack_plans(plans)
+
+            def step_with_plans(stacked_):
+                def step(carry, idx):
+                    tex, opt_state = carry
+
+                    def loss_fn(t):
+                        return uvs.plan_l1_loss(
+                            t, uvs.index_plan(stacked_, idx)
+                        )
+
+                    loss, grads = jax.value_and_grad(loss_fn)(tex)
+                    updates, opt_state = tx.update(grads, opt_state, tex)
+                    tex = optax.apply_updates(tex, updates)
+                    return (jnp.clip(tex, 0.0, 1.0), opt_state), loss
+
+                return step
+
+            @jax.jit
+            def run_plans(tex0, stacked_, idx_seq):
+                opt_state = tx.init(tex0)
+                (tex, _), losses = jax.lax.scan(
+                    step_with_plans(stacked_), (tex0, opt_state), idx_seq
+                )
+                return tex, losses
+
+            return run_plans(init_texture, stacked, pose_index)
+
         scan_imgs, uv_maps, fgs = (
             jnp.stack([m[k] for m in per_pose]) for k in range(3)
         )

@@ -33,3 +33,32 @@ def test_precompute_matches_reraster():
     np.testing.assert_allclose(
         np.asarray(tex_pre), np.asarray(tex_rr), atol=1e-4
     )
+
+
+def test_bucketed_equals_gather_precompute():
+    """The one-hot plan path tracks the gather path iteration-for-iteration."""
+    verts, faces, face_uvs = _unit_quad()
+    S = 16
+    target = np.zeros((S, S, 3), np.float32)
+    target[:, : S // 2] = [0.2, 0.8, 0.3]
+    target[:, S // 2:] = [0.7, 0.2, 0.6]
+
+    base = dict(
+        tex_img_size=S, render_img_size=32, iter_num=40, lr=5e-2,
+        round_views=4, round_view_iters=5, face_block=4, precompute=True,
+        uv_chunk=64, uv_window_rows=4,
+    )
+    tex_b, losses_b = tf.fit_texture(
+        verts, faces, face_uvs, verts, faces, face_uvs, target,
+        tf.TextureFitConfig(bucketed_uv=True, **base),
+    )
+    tex_g, losses_g = tf.fit_texture(
+        verts, faces, face_uvs, verts, faces, face_uvs, target,
+        tf.TextureFitConfig(bucketed_uv=False, **base),
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses_b), np.asarray(losses_g), rtol=5e-5, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(tex_b), np.asarray(tex_g), atol=1e-4
+    )
