@@ -210,6 +210,40 @@ def main():
         f"({150 * iters / dt / 600:.1f} 600-iter fits/s/chip)"
     )
 
+    # config 5b: UV texture optimization (BASELINE config 5's second half)
+    # at reference scale: 1024^2 texture, 512^2 renders, 200 Adam iters,
+    # 18-ring + random-sphere schedule (texture_fitting.py:239-276)
+    from bodyfitting_tpu.fitting import texture as texfit
+
+    sph = rng.normal(size=(2000, 3))
+    sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+    from scipy.spatial import ConvexHull
+
+    hull_f = ConvexHull(sph).simplices.astype(np.int32)
+    sv = sph.astype(np.float32)
+    uu = 0.5 + np.arctan2(sv[:, 2], sv[:, 0]) / (2 * np.pi)
+    vv = 0.5 + np.arcsin(np.clip(sv[:, 1], -1, 1)) / np.pi
+    fuv = np.stack(
+        [np.stack([uu[hull_f[:, i]], vv[hull_f[:, i]]], -1)
+         for i in range(3)], 1,
+    ).astype(np.float32)
+    scan_tex = rng.uniform(size=(1024, 1024, 3)).astype(np.float32)
+    for mode, name in ((True, "precompute+bucketed"), (False, "re-raster")):
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            tex, losses = texfit.fit_texture(
+                sv, hull_f, fuv, sv, hull_f, fuv, scan_tex,
+                texfit.TextureFitConfig(
+                    iter_num=200, precompute=mode, bucketed_uv=True,
+                ),
+            )
+            jax.block_until_ready(tex)
+            walls.append(time.perf_counter() - t0)
+        print(f"config5b texfit 200 iters ({name}): {walls[0]:.1f}s "
+              f"incl compile, {walls[1]:.1f}s warm "
+              f"(final L1 {float(losses[-1]):.0f})")
+
 
 if __name__ == "__main__":
     main()

@@ -245,6 +245,10 @@ def plan_sample(
     by fractional f32 weights, and the texture-fit parity tests compare
     against the gather path (same convention as ``ops/sdf.py``).
     """
+    if texture.shape[0] != texture.shape[1]:
+        raise ValueError(
+            f"plans assume a square texture, got {texture.shape}"
+        )
     S, C = texture.shape[0], texture.shape[-1]
     R = plan.window_rows
     cols = jnp.arange(S, dtype=jnp.int32)
