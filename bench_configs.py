@@ -229,20 +229,22 @@ def main():
     ).astype(np.float32)
     scan_tex = rng.uniform(size=(1024, 1024, 3)).astype(np.float32)
     for mode, name in ((True, "precompute+bucketed"), (False, "re-raster")):
-        walls = []
-        for _ in range(2):
+        walls, final = [], 0.0
+        for salt in (0.0, 0.37):  # fresh texture per launch: the tunnel
+            # can cache-serve repeated identical (program, inputs)
+            stex = np.clip(scan_tex + np.float32(salt), 0.0, 1.0)
             t0 = time.perf_counter()
             tex, losses = texfit.fit_texture(
-                sv, hull_f, fuv, sv, hull_f, fuv, scan_tex,
+                sv, hull_f, fuv, sv, hull_f, fuv, stex,
                 texfit.TextureFitConfig(
                     iter_num=200, precompute=mode, bucketed_uv=True,
                 ),
             )
-            jax.block_until_ready(tex)
+            final = float(losses[-1])  # host fetch INSIDE the timed wall
             walls.append(time.perf_counter() - t0)
         print(f"config5b texfit 200 iters ({name}): {walls[0]:.1f}s "
               f"incl compile, {walls[1]:.1f}s warm "
-              f"(final L1 {float(losses[-1]):.0f})")
+              f"(final L1 {final:.0f})")
 
 
 if __name__ == "__main__":

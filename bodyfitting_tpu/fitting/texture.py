@@ -221,6 +221,37 @@ def render_scan_views(
 # ---------------------------------------------------------------------------
 
 
+def _adam_scan(tx, loss_of, tex0, aux, xs):
+    """Shared texture Adam loop: scan over ``xs``, clip texture to [0,1].
+
+    All three fit_texture variants (bucketed plans, gather maps,
+    re-raster) differ only in ``loss_of(tex, x, aux)``; keeping one step
+    body here keeps them iteration-for-iteration comparable (pinned by
+    tests/test_texture_precompute.py).  ``aux``/``xs`` ride as jit
+    arguments, never closures (a closed-over production scan would embed
+    tens of MB of constants — the remote-compile tunnel rejects huge
+    programs, CLAUDE.md).
+    """
+
+    @jax.jit
+    def run(tex0, aux, xs):
+        opt_state = tx.init(tex0)
+
+        def step(carry, x):
+            tex, opt_state = carry
+            loss, grads = jax.value_and_grad(
+                lambda t: loss_of(t, x, aux)
+            )(tex)
+            updates, opt_state = tx.update(grads, opt_state, tex)
+            tex = optax.apply_updates(tex, updates)
+            return (jnp.clip(tex, 0.0, 1.0), opt_state), loss
+
+        (tex, _), losses = jax.lax.scan(step, (tex0, opt_state), xs)
+        return tex, losses
+
+    return run(tex0, aux, xs)
+
+
 def fit_texture(
     smpl_verts,
     smpl_faces,
@@ -309,109 +340,43 @@ def fit_texture(
             ]
             stacked = uvs.stack_plans(plans)
 
-            def step_with_plans(stacked_):
-                def step(carry, idx):
-                    tex, opt_state = carry
+            def plan_loss(t, idx, stacked_):
+                return uvs.plan_l1_loss(t, uvs.index_plan(stacked_, idx))
 
-                    def loss_fn(t):
-                        return uvs.plan_l1_loss(
-                            t, uvs.index_plan(stacked_, idx)
-                        )
-
-                    loss, grads = jax.value_and_grad(loss_fn)(tex)
-                    updates, opt_state = tx.update(grads, opt_state, tex)
-                    tex = optax.apply_updates(tex, updates)
-                    return (jnp.clip(tex, 0.0, 1.0), opt_state), loss
-
-                return step
-
-            @jax.jit
-            def run_plans(tex0, stacked_, idx_seq):
-                opt_state = tx.init(tex0)
-                (tex, _), losses = jax.lax.scan(
-                    step_with_plans(stacked_), (tex0, opt_state), idx_seq
-                )
-                return tex, losses
-
-            return run_plans(init_texture, stacked, pose_index)
+            return _adam_scan(tx, plan_loss, init_texture, stacked,
+                              pose_index)
 
         scan_imgs, uv_maps, fgs = (
             jnp.stack([m[k] for m in per_pose]) for k in range(3)
         )
 
-        # maps are explicit jit arguments (closure capture would embed
-        # them as constants in the compiled program)
-        def step_with(maps):
+        def maps_loss(t, idx, maps):
             scan_imgs_, uv_maps_, fgs_ = maps
-
-            def step(carry, idx):
-                tex, opt_state = carry
-
-                def loss_fn(t):
-                    smpl_img = rz.sample_texture_uvmap(
-                        uv_maps_[idx], fgs_[idx], t, background=1.0
-                    )
-                    return jnp.sum(jnp.abs(scan_imgs_[idx] - smpl_img))
-
-                loss, grads = jax.value_and_grad(loss_fn)(tex)
-                updates, opt_state = tx.update(grads, opt_state, tex)
-                tex = optax.apply_updates(tex, updates)
-                return (jnp.clip(tex, 0.0, 1.0), opt_state), loss
-
-            return step
-
-        @jax.jit
-        def run(tex0, maps, idx_seq):
-            opt_state = tx.init(tex0)
-            (tex, _), losses = jax.lax.scan(
-                step_with(maps), (tex0, opt_state), idx_seq
+            smpl_img = rz.sample_texture_uvmap(
+                uv_maps_[idx], fgs_[idx], t, background=1.0
             )
-            return tex, losses
+            return jnp.sum(jnp.abs(scan_imgs_[idx] - smpl_img))
 
-        return run(init_texture, (scan_imgs, uv_maps, fgs), pose_index)
+        return _adam_scan(tx, maps_loss, init_texture,
+                          (scan_imgs, uv_maps, fgs), pose_index)
 
     poses = jnp.asarray(poses_np)
 
-    # scene arrays are explicit jit arguments, same as the precompute
-    # branch: closing over a production-scale scan (~1M verts + a 2-4K
-    # texture) would embed tens of MB as program constants, which the
-    # remote-compile tunnel rejects (CLAUDE.md, HTTP 413)
-    def step_with(scene):
+    def reraster_loss(t, w2c, scene):
         (smpl_v, smpl_f, smpl_uv, scan_v, scan_f, scan_uv, scan_t) = scene
-
-        def step(carry, w2c):
-            tex, opt_state = carry
-            scan_img, _ = render_textured(
-                scan_v, scan_f, scan_uv, scan_t,
-                w2c, K, config.render_img_size, config.face_block,
-            )
-            scan_img = jax.lax.stop_gradient(scan_img)
-
-            def loss_fn(t):
-                smpl_img, _ = render_textured(
-                    smpl_v, smpl_f, smpl_uv, t, w2c, K,
-                    config.render_img_size, config.face_block,
-                )
-                return jnp.sum(jnp.abs(scan_img - smpl_img))
-
-            loss, grads = jax.value_and_grad(loss_fn)(tex)
-            updates, opt_state = tx.update(grads, opt_state, tex)
-            tex = optax.apply_updates(tex, updates)
-            tex = jnp.clip(tex, 0.0, 1.0)
-            return (tex, opt_state), loss
-
-        return step
-
-    @jax.jit
-    def run(tex0, scene, poses_):
-        opt_state = tx.init(tex0)
-        (tex, _), losses = jax.lax.scan(
-            step_with(scene), (tex0, opt_state), poses_
+        scan_img, _ = render_textured(
+            scan_v, scan_f, scan_uv, scan_t,
+            w2c, K, config.render_img_size, config.face_block,
         )
-        return tex, losses
+        scan_img = jax.lax.stop_gradient(scan_img)
+        smpl_img, _ = render_textured(
+            smpl_v, smpl_f, smpl_uv, t, w2c, K,
+            config.render_img_size, config.face_block,
+        )
+        return jnp.sum(jnp.abs(scan_img - smpl_img))
 
-    return run(
-        init_texture,
+    return _adam_scan(
+        tx, reraster_loss, init_texture,
         (smpl_verts, smpl_faces, smpl_face_uvs,
          scan_verts_j, scan_faces_j, scan_face_uvs_j, scan_texture_j),
         poses,

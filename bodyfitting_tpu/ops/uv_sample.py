@@ -55,11 +55,11 @@ class UVSamplePlan:
     """
 
     row_start: jax.Array   # [I] i32 first texture row of each item window
-    x0: jax.Array          # [I, K] i32 left tap column
-    x1: jax.Array          # [I, K] i32 right tap column (clamped)
+    x0: jax.Array          # [I, K] i16 left tap column
+    x1: jax.Array          # [I, K] i16 right tap column (clamped)
     wx: jax.Array          # [I, K] f32 right-tap weight
-    dy: jax.Array          # [I, K] i32 top tap row offset in window
-    dy1: jax.Array         # [I, K] i32 bottom tap row offset (clamped)
+    dy: jax.Array          # [I, K] i8 top tap row offset in window
+    dy1: jax.Array         # [I, K] i8 bottom tap row offset (clamped)
     wy: jax.Array          # [I, K] f32 bottom-tap weight
     valid: jax.Array       # [I, K] f32 1 for real pixels, 0 for padding
     target: jax.Array      # [I, K, C] f32 target pixels in bucket order
@@ -145,8 +145,12 @@ def build_uv_sample_plan(
     starts: List[int] = []
     ends: List[int] = []
     rows: List[int] = []
-    if S <= R:
-        raise ValueError(f"window_rows={R} must be < tex_size={S}")
+    if R < 1 or R > 127 or S <= R:
+        raise ValueError(
+            f"window_rows={R} must be in [1, min(127, tex_size={S} - 1)]"
+        )
+    if S > 32767:
+        raise ValueError(f"tex_size={S} exceeds the int16 tap columns")
     p = 0
     while p < n:
         row = int(min(y0s[p], S - 1 - R))
@@ -173,24 +177,23 @@ def build_uv_sample_plan(
 
     row_start = np.zeros((n_items,), np.int32)
     row_start[: len(rows)] = rows
-    dy = padded(y0 - np.int32(0), 0, np.int32)  # filled below per item
-    for i, (a, b) in enumerate(zip(starts, ends)):
-        dy[i, : b - a] = y0[order[a:b]] - rows[i]
-    dy1 = np.zeros_like(dy)
-    for i, (a, b) in enumerate(zip(starts, ends)):
-        dy1[i, : b - a] = y1[order[a:b]] - rows[i]
-
+    # compact tap dtypes halve the plan's device footprint (columns fit
+    # int16 for any realistic atlas, window offsets fit int8 for R<=127)
+    dy = np.zeros((n_items, chunk), np.int8)
+    dy1 = np.zeros((n_items, chunk), np.int8)
     tgt = np.zeros((n_items, chunk, C), np.float32)
-    for i, (a, b) in enumerate(zip(starts, ends)):
-        tgt[i, : b - a] = tgt_fg[order[a:b]]
     valid = np.zeros((n_items, chunk), np.float32)
     for i, (a, b) in enumerate(zip(starts, ends)):
+        sel = order[a:b]
+        dy[i, : b - a] = y0[sel] - rows[i]
+        dy1[i, : b - a] = y1[sel] - rows[i]
+        tgt[i, : b - a] = tgt_fg[sel]
         valid[i, : b - a] = 1.0
 
     return UVSamplePlan(
         row_start=jnp.asarray(row_start),
-        x0=jnp.asarray(padded(x0, 0, np.int32)),
-        x1=jnp.asarray(padded(x1, 0, np.int32)),
+        x0=jnp.asarray(padded(x0, 0, np.int16)),
+        x1=jnp.asarray(padded(x1, 0, np.int16)),
         wx=jnp.asarray(padded(wx, 0.0, np.float32)),
         dy=jnp.asarray(dy),
         dy1=jnp.asarray(dy1),

@@ -102,12 +102,21 @@ def test_stacked_plans_index_inside_scan():
     tex = jnp.asarray(rng.uniform(size=(S, S, 3)).astype(np.float32))
 
     cases = [_rand_case(rng, H, W, S, edge_frac=0.0) for _ in range(3)]
+    # confine case 0's v to a narrow band: fewer texture-row windows ->
+    # fewer work items, so stacking actually pads (padded items must
+    # contribute zero loss)
+    uv0, fg0, tgt0 = cases[0]
+    cases[0] = (
+        np.concatenate(
+            [uv0[..., :1], 0.8 + 0.2 * uv0[..., 1:]], -1
+        ).astype(np.float32),
+        fg0, tgt0,
+    )
     plans = [
         us.build_uv_sample_plan(uv, fg, tgt, S, chunk=32, window_rows=4)
         for uv, fg, tgt in cases
     ]
-    # force unequal item counts so stacking actually pads
-    assert len({p.num_items for p in plans}) >= 1
+    assert len({p.num_items for p in plans}) >= 2
     stacked = us.stack_plans(plans)
 
     @jax.jit
