@@ -115,10 +115,23 @@ def _time_fit(model, config, obs, init, prior, batched, iters, label):
 
 
 def main():
+    import argparse
+
     from bodyfitting_tpu import constants
     from bodyfitting_tpu.fitting import smplify
     from bodyfitting_tpu.losses.priors import synthetic_gmm_prior
     from bodyfitting_tpu.models import body_model as bm
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--only", nargs="*", default=None,
+        choices=["1", "2", "3", "4", "5", "5b"],
+        help="run only these configs (default: all)",
+    )
+    cli = ap.parse_args()
+
+    def want(label):
+        return cli.only is None or label in cli.only
 
     rng = np.random.default_rng(0)
     prior = synthetic_gmm_prior()
@@ -131,120 +144,128 @@ def main():
         bm.synthetic_model("smpl", num_verts=constants.SMPL_NUM_VERTS)
     )
     cfg = smplify.FitConfig(num_iters=iters)
-    _time_fit(
-        smpl, cfg, _obs(smpl, rng), smplify.FitParams.init(smpl), prior,
-        False, iters, "config1 smpl 4-view keypoint",
-    )
+    if want("1"):
+        _time_fit(
+            smpl, cfg, _obs(smpl, rng), smplify.FitParams.init(smpl),
+            prior, False, iters, "config1 smpl 4-view keypoint",
+        )
 
     # config 2: SMPL-X hands+face, batched
     smplx = bm.synthetic_model(
         "smplx", num_verts=constants.SMPLX_NUM_VERTS
     )
-    B = 64
-    obs2 = _obs(smplx, rng, n_frames=B)
-    init2 = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (B,) + x.shape),
-        smplify.FitParams.init(smplx),
-    )
-    _time_fit(smplx, cfg, obs2, init2, prior, True, iters,
-              f"config2 smplx batch{B}")
+    if want("2"):
+        B = 64
+        obs2 = _obs(smplx, rng, n_frames=B)
+        init2 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+            smplify.FitParams.init(smplx),
+        )
+        _time_fit(smplx, cfg, obs2, init2, prior, True, iters,
+                  f"config2 smplx batch{B}")
 
     # config 3: + silhouette
-    cfg3 = smplify.FitConfig(num_iters=iters, use_mask=True)
-    _time_fit(
-        smpl, cfg3, _obs(smpl, rng, use_mask=True),
-        smplify.FitParams.init(smpl), prior, False, iters,
-        "config3 smpl + mask",
-    )
+    if want("3"):
+        cfg3 = smplify.FitConfig(num_iters=iters, use_mask=True)
+        _time_fit(
+            smpl, cfg3, _obs(smpl, rng, use_mask=True),
+            smplify.FitParams.init(smpl), prior, False, iters,
+            "config3 smpl + mask",
+        )
 
     # config 4: SMPL+D scan fit (SDF and exact)
-    scan_v = jnp.asarray(
-        rng.normal(size=(40000, 3)).astype(np.float32) * 0.3
-    )
-    scan_f = jnp.asarray(
-        rng.integers(0, 40000, size=(80000, 3)).astype(np.int32)
-    )
-    t0 = time.perf_counter()
-    obs4 = _obs(smpl, rng, scan=(scan_v, scan_f))
-    jax.block_until_ready(obs4.scan_volume.dist)
-    print(f"config4 SDF volume build (80k faces, 96^3): "
-          f"{time.perf_counter() - t0:.1f}s one-time")
-    for impl in ("sdf", "exact"):
-        cfg4 = smplify.FitConfig(
-            num_iters=iters, use_mesh=True, displacement=True,
-            mesh_loss_impl=impl,
+    if want("4"):
+        scan_v = jnp.asarray(
+            rng.normal(size=(40000, 3)).astype(np.float32) * 0.3
         )
-        _time_fit(
-            smpl, cfg4, obs4, smplify.FitParams.init(smpl), prior,
-            False, 2 * iters, f"config4 smpl+d scan ({impl})",
+        scan_f = jnp.asarray(
+            rng.integers(0, 40000, size=(80000, 3)).astype(np.int32)
         )
+        t0 = time.perf_counter()
+        obs4 = _obs(smpl, rng, scan=(scan_v, scan_f))
+        jax.block_until_ready(obs4.scan_volume.dist)
+        print(f"config4 SDF volume build (80k faces, 96^3): "
+              f"{time.perf_counter() - t0:.1f}s one-time")
+        for impl in ("sdf", "exact"):
+            cfg4 = smplify.FitConfig(
+                num_iters=iters, use_mesh=True, displacement=True,
+                mesh_loss_impl=impl,
+            )
+            _time_fit(
+                smpl, cfg4, obs4, smplify.FitParams.init(smpl), prior,
+                False, 2 * iters, f"config4 smpl+d scan ({impl})",
+            )
 
     # config 5: 150-frame sequence fit (temporal coupling)
-    from bodyfitting_tpu.fitting import sequence as seqmod
+    if want("5"):
+        from bodyfitting_tpu.fitting import sequence as seqmod
 
-    B5 = 150
-    obs5 = _obs(smplx, rng, n_frames=B5)
-    init5 = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (B5,) + x.shape),
-        smplify.FitParams.init(smplx),
-    )
-    import dataclasses
+        B5 = 150
+        obs5 = _obs(smplx, rng, n_frames=B5)
+        init5 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B5,) + x.shape),
+            smplify.FitParams.init(smplx),
+        )
+        import dataclasses
 
-    from bench_common import timed_launches
+        from bench_common import timed_launches
 
-    fit5 = jax.jit(
-        lambda o, i: seqmod.fit_sequence(smplx, cfg, o, i, prior)
-    )
+        fit5 = jax.jit(
+            lambda o, i: seqmod.fit_sequence(smplx, cfg, o, i, prior)
+        )
 
-    def run5(off):
-        o = dataclasses.replace(obs5, keypoints=obs5.keypoints + off)
-        _, _, losses = fit5(o, init5)
-        float(losses.sum())
+        def run5(off):
+            o = dataclasses.replace(obs5, keypoints=obs5.keypoints + off)
+            _, _, losses = fit5(o, init5)
+            float(losses.sum())
 
-    res5 = timed_launches(run5, warmups=1)
-    print(f"config5 150-frame smplx sequence (temporal): compile+run "
-          f"{res5.first:.0f}s")
-    dt = res5.median
-    print(
-        f"config5: {iters} iters x 150 frames in {dt * 1e3:.0f}ms "
-        f"({150 * iters / dt / 600:.1f} 600-iter fits/s/chip)"
-    )
+        res5 = timed_launches(run5, warmups=1)
+        print(f"config5 150-frame smplx sequence (temporal): compile+run "
+              f"{res5.first:.0f}s")
+        dt = res5.median
+        print(
+            f"config5: {iters} iters x 150 frames in {dt * 1e3:.0f}ms "
+            f"({150 * iters / dt / 600:.1f} 600-iter fits/s/chip)"
+        )
 
     # config 5b: UV texture optimization (BASELINE config 5's second half)
     # at reference scale: 1024^2 texture, 512^2 renders, 200 Adam iters,
     # 18-ring + random-sphere schedule (texture_fitting.py:239-276)
-    from bodyfitting_tpu.fitting import texture as texfit
+    if want("5b"):
+        from bodyfitting_tpu.fitting import texture as texfit
 
-    sph = rng.normal(size=(2000, 3))
-    sph /= np.linalg.norm(sph, axis=1, keepdims=True)
-    from scipy.spatial import ConvexHull
+        sph = rng.normal(size=(2000, 3))
+        sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+        from scipy.spatial import ConvexHull
 
-    hull_f = ConvexHull(sph).simplices.astype(np.int32)
-    sv = sph.astype(np.float32)
-    uu = 0.5 + np.arctan2(sv[:, 2], sv[:, 0]) / (2 * np.pi)
-    vv = 0.5 + np.arcsin(np.clip(sv[:, 1], -1, 1)) / np.pi
-    fuv = np.stack(
-        [np.stack([uu[hull_f[:, i]], vv[hull_f[:, i]]], -1)
-         for i in range(3)], 1,
-    ).astype(np.float32)
-    scan_tex = rng.uniform(size=(1024, 1024, 3)).astype(np.float32)
-    for mode, name in ((True, "precompute+bucketed"), (False, "re-raster")):
-        walls, final = [], 0.0
-        for salt in (0.0, 0.37):  # fresh texture per launch: the tunnel
-            # can cache-serve repeated identical (program, inputs)
-            stex = np.clip(scan_tex + np.float32(salt), 0.0, 1.0)
-            t0 = time.perf_counter()
-            tex, losses = texfit.fit_texture(
-                sv, hull_f, fuv, sv, hull_f, fuv, stex,
-                texfit.TextureFitConfig(
-                    iter_num=200, precompute=mode, bucketed_uv=True,
-                ),
-            )
-            final = float(losses[-1])  # host fetch INSIDE the timed wall
-            walls.append(time.perf_counter() - t0)
-        print(f"config5b texfit 200 iters ({name}): {walls[0]:.1f}s "
-              f"incl compile, {walls[1]:.1f}s warm "
-              f"(final L1 {final:.0f})")
+        hull_f = ConvexHull(sph).simplices.astype(np.int32)
+        sv = sph.astype(np.float32)
+        uu = 0.5 + np.arctan2(sv[:, 2], sv[:, 0]) / (2 * np.pi)
+        vv = 0.5 + np.arcsin(np.clip(sv[:, 1], -1, 1)) / np.pi
+        fuv = np.stack(
+            [np.stack([uu[hull_f[:, i]], vv[hull_f[:, i]]], -1)
+             for i in range(3)], 1,
+        ).astype(np.float32)
+        scan_tex = rng.uniform(size=(1024, 1024, 3)).astype(np.float32)
+        for mode, name in (
+            (True, "precompute+bucketed"), (False, "re-raster")
+        ):
+            walls, final = [], 0.0
+            for salt in (0.0, 0.37):  # fresh texture per launch: the
+                # tunnel can cache-serve repeated identical (prog, inputs)
+                stex = np.clip(scan_tex + np.float32(salt), 0.0, 1.0)
+                t0 = time.perf_counter()
+                tex, losses = texfit.fit_texture(
+                    sv, hull_f, fuv, sv, hull_f, fuv, stex,
+                    texfit.TextureFitConfig(
+                        iter_num=200, precompute=mode, bucketed_uv=True,
+                    ),
+                )
+                final = float(losses[-1])  # host fetch IN the timed wall
+                walls.append(time.perf_counter() - t0)
+            print(f"config5b texfit 200 iters ({name}): {walls[0]:.1f}s "
+                  f"incl compile, {walls[1]:.1f}s warm "
+                  f"(final L1 {final:.0f})")
 
 
 if __name__ == "__main__":

@@ -44,14 +44,17 @@ class TextureFitConfig:
     seed: int = 0
     # geometry is FIXED during texture optimisation, so every unique
     # camera's raster maps and scan render can be computed once; each Adam
-    # iteration is then pure differentiable sampling.  Pays off when the
-    # schedule revisits poses (iter_num >> unique poses, e.g. round-view
-    # only); the reference schedule is ~64% unique, where re-rasterising
-    # is on par, so the default keeps the reference behaviour.
+    # iteration is then pure differentiable sampling.  Only pays off when
+    # the schedule heavily revisits poses (iter_num >> unique poses, e.g.
+    # round-view only): the reference schedule is ~64% unique, where the
+    # per-call unique-pose rasters + host plan build dominate and measured
+    # 82s vs re-raster's 27.8s for 200 iters at 1024^2/512^2 on the chip
+    # (bench_configs.py --only 5b) — so the default keeps re-rasterising.
     precompute: bool = False
     # precompute mode only: replace the per-pixel texture gathers with
     # host-bucketed one-hot matmuls on the MXU (ops/uv_sample.py) — same
-    # loss values, ~free vs the 51 ms/iter gather sampler on the chip
+    # loss values, cheaper per-iteration than the 51 ms/iter gather
+    # sampler, but does not rescue precompute mode end-to-end (above)
     bucketed_uv: bool = True
     uv_chunk: int = 2048
     uv_window_rows: int = 8
