@@ -247,8 +247,10 @@ def main():
              for i in range(3)], 1,
         ).astype(np.float32)
         scan_tex = rng.uniform(size=(1024, 1024, 3)).astype(np.float32)
-        for mode, name in (
-            (True, "precompute+bucketed"), (False, "re-raster")
+        for pre, bucketed, name in (
+            (True, True, "precompute+bucketed"),
+            (True, False, "precompute+gather"),
+            (False, True, "re-raster"),
         ):
             walls, final = [], 0.0
             for salt in (0.0, 0.37):  # fresh texture per launch: the
@@ -258,7 +260,7 @@ def main():
                 tex, losses = texfit.fit_texture(
                     sv, hull_f, fuv, sv, hull_f, fuv, stex,
                     texfit.TextureFitConfig(
-                        iter_num=200, precompute=mode, bucketed_uv=True,
+                        iter_num=200, precompute=pre, bucketed_uv=bucketed,
                     ),
                 )
                 final = float(losses[-1])  # host fetch IN the timed wall
