@@ -340,6 +340,16 @@ class Runner:
                 param, os.path.join(smpl_folder, f"{subject}.npy")
             )
 
+    def _load_cached_fit(self, subject):
+        """The smplify stage's written parameter dict, or None."""
+        param = os.path.join(
+            self.output_dir, subject, "smplify",
+            f"{self.args.smpl_type}_parameter.npy",
+        )
+        if not os.path.exists(param):
+            return None
+        return np.load(param, allow_pickle=True).item()
+
     def _prepare_scan(self, subject, meshfile):
         """Host-side prep for one scan (obj load, view render/IO, openpose)
         — prefetched one scan ahead while the previous scan fits."""
@@ -373,8 +383,22 @@ class Runner:
                     result = self.run_smplify(
                         subject, scan, data, keypoints
                     )
-                if "texfit" in self.args.tasks and result is not None:
-                    self.run_texfit(subject, scan, scan_face_uvs, result)
+                if "texfit" in self.args.tasks:
+                    if result is None:
+                        # texfit without smplify in the same run: reuse the
+                        # cached fit, like the reference loads the written
+                        # smpl+d outputs (texture_fitting.py:227-230)
+                        result = self._load_cached_fit(subject)
+                    if result is None:
+                        print(
+                            f"WARNING: no cached smplify result for "
+                            f"{subject}; run the smplify task first",
+                            file=sys.stderr,
+                        )
+                    else:
+                        self.run_texfit(
+                            subject, scan, scan_face_uvs, result
+                        )
                 if "output" in self.args.tasks:
                     self.run_output(subject)
 

@@ -333,6 +333,223 @@ def multiview_keypoint_loss(
 
 
 # ---------------------------------------------------------------------------
+# Mask (silhouette) loss — reference smplify/loss.py:85-130
+# ---------------------------------------------------------------------------
+
+
+def multiview_mask_loss(
+    contours, contour_valid, masks, mask_w2cs, mask_Ks, verts,
+    *, vertex_stride=4, epsilon=10.0, imsize=512.0,
+):
+    """The reference's ``multview_mask_loss`` (loss.py:85-130) on padded
+    contour tensors: per contour pixel, distance to the nearest *inside*
+    projected (every-4th) SMPL vertex, weighted ``epsilon`` x when the
+    matched vertex lands outside the mask, plus the differentiable
+    ``grid_sample(1 - mask)`` stay-inside term (loss.py:123-127) — computed
+    here with torch's own ``cdist``/``grid_sample``, i.e. a genuinely
+    independent arithmetic route from the JAX engine's one-hot matmuls
+    (:func:`bodyfitting_tpu.losses.silhouette.silhouette_loss`).
+
+    ``contour_valid`` carries the arc-length-resampling weights (see
+    ``losses.silhouette.resample_contours``) so both engines evaluate the
+    identical objective.  Matched distances are recomputed through a
+    differentiable gather with the same ``+1e-12`` guard as the JAX form
+    (the selection itself is piecewise-constant, so the gradient matches
+    the reference's backprop-through-cdist).
+    """
+    import torch.nn.functional as F
+
+    pts3d = verts[::vertex_stride]
+    total_icp = verts.new_zeros(())
+    total_binary = verts.new_zeros(())
+    for i in range(len(masks)):
+        w2c, K, mask = mask_w2cs[i], mask_Ks[i], masks[i]
+        cam = pts3d @ w2c[:3, :3].T + w2c[:3, 3]
+        pr = cam @ K.T
+        proj = pr[:, :2] / pr[:, 2:3]
+        inside = (
+            (proj[:, 0] >= 0) & (proj[:, 0] < imsize)
+            & (proj[:, 1] >= 0) & (proj[:, 1] < imsize)
+        )
+        with torch.no_grad():
+            d = torch.cdist(contours[i], proj)                # [P, M]
+            d = torch.where(inside[None, :], d, torch.full_like(d, 1e9))
+            idx = torch.argmin(d, dim=1)
+            in_match = inside[idx]
+        matched = proj[idx]                                   # [P, 2] (grad)
+        mindist = torch.sqrt(
+            ((contours[i] - matched) ** 2).sum(-1) + 1e-12
+        )
+        mindist = torch.where(
+            in_match, mindist, torch.zeros_like(mindist)
+        )
+        H, W = mask.shape
+        with torch.no_grad():
+            mx = matched[:, 0].long().clamp(0, W - 1)
+            my = matched[:, 1].long().clamp(0, H - 1)
+            outside_mask = (mask[my, mx] < 0.1).to(mindist.dtype)
+        coeff = outside_mask * (epsilon - 1.0) + 1.0
+        total_icp = total_icp + (mindist * coeff * contour_valid[i]).sum()
+
+        # stay-inside: grid_sample(1-mask) with zero padding, the
+        # reference's own op (loss.py:123-127; align_corners=False)
+        uv = (proj / imsize * 2.0 - 1.0).reshape(1, -1, 1, 2)
+        comp = F.grid_sample(
+            (1.0 - mask)[None, None], uv, mode="bilinear",
+            padding_mode="zeros", align_corners=False,
+        )
+        total_binary = total_binary + comp.sum()
+    return total_icp + total_binary * epsilon
+
+
+# ---------------------------------------------------------------------------
+# Exact nearest point-on-mesh — reference mesh_grid CUDA kernel semantics
+# (mesh_grid_kernel.cu:240-353), candidate-enumeration algorithm
+# ---------------------------------------------------------------------------
+
+
+def _closest_on_tris(p, a, b, c):
+    """Closest point to each ``p [Q,1,3]`` on each triangle ``a/b/c
+    [1,F,3]`` -> ``[Q,F,3]``.
+
+    Candidate enumeration (plane projection when its barycentrics are all
+    non-negative, else the best of the three clamped edge projections) — a
+    deliberately different decomposition from the JAX engine's branchless
+    Voronoi-region form (ops/nearest.py), so the two routes cross-check.
+    """
+    def seg(s0, s1):
+        d = s1 - s0
+        t = ((p - s0) * d).sum(-1) / (d * d).sum(-1).clamp_min(1e-30)
+        return s0 + t.clamp(0.0, 1.0).unsqueeze(-1) * d
+
+    pe = torch.stack([seg(a, b), seg(b, c), seg(c, a)], dim=-2)  # [Q,F,3,3]
+    d2e = ((p.unsqueeze(-2) - pe) ** 2).sum(-1)                  # [Q,F,3]
+    k = d2e.argmin(-1)
+    best_edge = torch.gather(
+        pe, -2, k[..., None, None].expand(*k.shape, 1, 3)
+    ).squeeze(-2)                                                # [Q,F,3]
+
+    n = torch.cross(b - a, c - a, dim=-1)                        # [1,F,3]
+    nn = (n * n).sum(-1)
+    h = ((p - a) * n).sum(-1) / nn.clamp_min(1e-30)
+    pin = p - h.unsqueeze(-1) * n                                # [Q,F,3]
+    w0 = (torch.cross(c - b, pin - b, dim=-1) * n).sum(-1)
+    w1 = (torch.cross(a - c, pin - c, dim=-1) * n).sum(-1)
+    w2 = (torch.cross(b - a, pin - a, dim=-1) * n).sum(-1)
+    interior = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (nn > 1e-30)
+    return torch.where(interior.unsqueeze(-1), pin, best_edge)
+
+
+def nearest_points_on_mesh(points, scan_verts, scan_faces,
+                           point_chunk=1024, face_chunk=8192):
+    """Exact nearest point + face index on a triangle mesh (the quantity
+    the reference's CUDA grid walk returns, mesh_grid.cpp:54 ->
+    mesh_grid_kernel.cu:240-353).  Non-differentiable by contract (the
+    reference's autograd backward is disabled; callers detach —
+    utils/mesh_grid_searcher.py:17-49, loss.py:240).
+
+    Returns ``(closest [Q,3], face_idx [Q] long)``.
+
+    Tie-breaking matches ``ops.nearest.nearest_point_on_mesh``: among all
+    faces within ``best + 32 eps (best + bbox_diag^2)`` of the minimum
+    (queries in an edge's Voronoi region are equidistant from both
+    incident faces), the LOWEST face index wins, so both engines report
+    the same face for the normal loss regardless of rounding order.
+    """
+    with torch.no_grad():
+        tri = scan_verts[scan_faces]                             # [F,3,3]
+        Q = points.shape[0]
+        F_ = tri.shape[0]
+        ext = scan_verts.max(0).values - scan_verts.min(0).values
+        diag2 = (ext * ext).sum()
+        eps = torch.finfo(points.dtype).eps
+        out_pts = torch.empty_like(points)
+        out_idx = torch.empty(Q, dtype=torch.long)
+        for q0 in range(0, Q, point_chunk):
+            p = points[q0:q0 + point_chunk].unsqueeze(1)         # [Qc,1,3]
+            best_d2 = None
+            d2_chunks = []                     # kept for the tie pass
+            for f0 in range(0, F_, face_chunk):
+                t = tri[f0:f0 + face_chunk]
+                cp = _closest_on_tris(
+                    p, t[None, :, 0], t[None, :, 1], t[None, :, 2]
+                )                                                # [Qc,Fc,3]
+                d2 = ((p - cp) ** 2).sum(-1)                     # [Qc,Fc]
+                d2_chunks.append(d2)
+                dmin, _ = d2.min(dim=1)
+                best_d2 = dmin if best_d2 is None \
+                    else torch.minimum(best_d2, dmin)
+            thresh = best_d2 + 32.0 * eps * (best_d2 + diag2)
+            low = torch.full_like(out_idx[q0:q0 + p.shape[0]], 2**60)
+            for fi, f0 in enumerate(range(0, F_, face_chunk)):
+                d2 = d2_chunks[fi]
+                fidx = torch.arange(f0, f0 + d2.shape[1])[None, :]
+                cand = torch.where(
+                    d2 <= thresh[:, None], fidx,
+                    torch.full_like(fidx, 2**60),
+                )
+                low = torch.minimum(low, cand.min(dim=1).values)
+            tri_tb = tri[low]                                    # [Qc,3,3]
+            pt = _closest_on_tris(
+                p[:, 0, :].unsqueeze(1),
+                tri_tb[:, None, 0], tri_tb[:, None, 1], tri_tb[:, None, 2],
+            )[:, 0, :]
+            out_pts[q0:q0 + p.shape[0]] = pt
+            out_idx[q0:q0 + p.shape[0]] = low
+        return out_pts, out_idx
+
+
+# ---------------------------------------------------------------------------
+# Mesh-fitting losses — reference smplify/loss.py:233-288
+# ---------------------------------------------------------------------------
+
+
+def point_cloud_loss(points, closest):
+    """Frobenius norm of the residual to detached closest points — the
+    reference's ``torch.norm(points - closest.detach(), p=2)`` then
+    ``mean`` of the scalar (loss.py:233-242), with the JAX engine's
+    ``+1e-20`` sqrt guard so both engines share one formula."""
+    diff = points.reshape(-1, 3) - closest.detach()
+    return torch.sqrt((diff * diff).sum() + 1e-20)
+
+
+def normal_loss(point_normals, scan_face_normals, face_idx):
+    """``mean(1 - <closest-face normal, point normal>)`` with the scan's
+    *unnormalised* face cross products, exactly as the reference passes
+    them (smplify.py:149, loss.py:260-271)."""
+    closest_fn = scan_face_normals[face_idx]
+    return (1.0 - (closest_fn * point_normals.reshape(-1, 3)).sum(-1)).mean()
+
+
+def normal_laplacian_smoothness(normals, faces):
+    """1-hop normal MSE over triangle edges (reference loss.py:273-288)."""
+    na, nb, nc = normals[faces[:, 0]], normals[faces[:, 1]], normals[faces[:, 2]]
+    mse = lambda x, y: ((x - y) ** 2).sum(-1)  # noqa: E731
+    return (mse(na, nb) + mse(nc, na) + mse(nb, nc)).mean()
+
+
+def compute_vertex_normals(verts, faces):
+    """Reference ``compute_normal_torch`` (io_utils.py:409-428): unit face
+    normals (``/(|n|+1e-8)``) scatter-summed per vertex, renormalised —
+    the same formula as the JAX ``losses.mesh.compute_vertex_normals``."""
+    tris = verts[faces]
+    fn = torch.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0], dim=-1)
+    fn = fn / (fn.norm(dim=-1, keepdim=True) + 1e-8)
+    vn = torch.zeros_like(verts)
+    for k in range(3):
+        vn = vn.index_add(0, faces[:, k], fn)
+    return vn / (vn.norm(dim=-1, keepdim=True) + 1e-8)
+
+
+def compute_face_normals(verts, faces):
+    """Unnormalised face cross products (reference smplify.py:148-149)."""
+    tris = verts[faces]
+    return torch.cross(
+        tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0], dim=-1
+    )
+
+
+# ---------------------------------------------------------------------------
 # The reference optimization loop
 # ---------------------------------------------------------------------------
 
@@ -354,8 +571,16 @@ def smplify_fit(
     num_betas: int = 10,
     num_expressions: int = 10,
     dtype=torch.float32,
+    use_mask: bool = False,
+    mask_data: Optional[dict] = None,
+    use_mesh: bool = False,
+    scan: Optional[dict] = None,
+    displacement: bool = False,
+    mask_weight: float = 5.0,
+    pc_weight: float = 5.0,
+    disp_lr: float = 5e-2,
 ):
-    """Re-enact the reference optimization loop (smplify/smplify.py:84-226).
+    """Re-enact the reference optimization loop (smplify/smplify.py:84-250).
 
     Structure preserved exactly: zero-initialized hand/face poses and
     translation, unit scale (smplify.py:117-128); Adam with lr=0.1 groups
@@ -364,6 +589,16 @@ def smplify_fit(
     moves (smplify.py:118,167-174); 600 iterations of forward -> per-view
     keypoint loss -> backward -> step (smplify.py:177-213); joints/vertices
     scaled ``(x + transl) * body_scale * constant_scale`` (smplify.py:189-190).
+
+    Staged terms (smplify.py:196-210): after iteration ``num_iters // 3``,
+    the mask loss (x ``mask_weight``) and/or the point-cloud loss
+    (``/ scan_height * imsize``, x ``pc_weight``) join the objective.
+    ``mask_data`` = dict(contours [Vm,P,2], contour_valid [Vm,P],
+    masks [Vm,H,W], w2cs [Vm,4,4], Ks [Vm,3,3]); ``scan`` = dict(verts
+    [N,3], faces [F,3]).  With ``displacement=True`` (and use_mesh) a
+    second ``num_iters`` Adam(lr=``disp_lr``) stage fits per-vertex
+    displacements with ICP + normal + Laplacian losses combined as
+    ``icp + (nl + sm) * constant_scale * 0.1`` (smplify.py:228-247).
 
     Returns a dict matching the reference output schema (smplify.py:216-226)
     plus the per-iteration total-loss trace, with vertices/joints computed
@@ -412,6 +647,23 @@ def smplify_fit(
     kps_t = [torch.as_tensor(k, dtype=dt) for k in keypoints]
     gmm = tuple(torch.as_tensor(np.asarray(g), dtype=dt) for g in gmm_arrays)
 
+    if use_mask:
+        m_contours = torch.as_tensor(
+            np.asarray(mask_data["contours"]), dtype=dt)
+        m_valid = torch.as_tensor(
+            np.asarray(mask_data["contour_valid"]), dtype=dt)
+        m_masks = torch.as_tensor(np.asarray(mask_data["masks"]), dtype=dt)
+        m_w2cs = torch.as_tensor(np.asarray(mask_data["w2cs"]), dtype=dt)
+        m_Ks = torch.as_tensor(np.asarray(mask_data["Ks"]), dtype=dt)
+    if use_mesh:
+        scan_verts = torch.as_tensor(np.asarray(scan["verts"]), dtype=dt)
+        scan_faces = torch.as_tensor(
+            np.asarray(scan["faces"]), dtype=torch.long)
+        # reference smplify.py:150-151: height along y
+        scan_height = float(
+            (scan_verts.max(0).values - scan_verts.min(0).values)[1]
+        )
+
     def params_dict():
         d = dict(
             betas=betas, global_orient=global_orient, body_pose=body_pose,
@@ -424,7 +676,8 @@ def smplify_fit(
 
     trace = []
     term_trace = []
-    for _ in range(num_iters):
+    gate = num_iters // 3
+    for i in range(num_iters):
         verts, joints, _ = forward(md, params_dict())
         scale = body_scale * constant_scale
         model_joints = (joints + global_transl) * scale
@@ -432,6 +685,23 @@ def smplify_fit(
             w2cs_t, Ks_t, kps_t, model_joints, body_pose, betas, gmm,
             imsize=imsize, use_hand_face=use_hand_face,
         )
+        if (use_mask or use_mesh) and i > gate:
+            body_vertices = (verts + global_transl) * scale
+            if use_mask:
+                mask_l = multiview_mask_loss(
+                    m_contours, m_valid, m_masks, m_w2cs, m_Ks,
+                    body_vertices, imsize=imsize,
+                )
+                loss = loss + mask_weight * mask_l
+                terms["mask_loss"] = mask_l
+            if use_mesh:
+                closest, _ = nearest_points_on_mesh(
+                    body_vertices.detach(), scan_verts, scan_faces
+                )
+                pc_l = point_cloud_loss(body_vertices, closest) \
+                    / scan_height * imsize
+                loss = loss + pc_weight * pc_l
+                terms["pc_loss"] = pc_l
         optimizer.zero_grad()
         loss.backward()
         optimizer.step()
@@ -441,8 +711,9 @@ def smplify_fit(
     with torch.no_grad():
         verts, joints, full_pose = forward(md, params_dict())
         scale = body_scale * constant_scale
+        body_vertices_final = (verts + global_transl) * scale
         result = {
-            "vertices": ((verts + global_transl) * scale).numpy(),
+            "vertices": body_vertices_final.numpy(),
             "joints": ((joints + global_transl) * scale).numpy(),
             "pose": body_pose.numpy(),
             "betas": betas.numpy(),
@@ -453,4 +724,33 @@ def smplify_fit(
             "loss_trace": np.asarray(trace),
             "term_trace": term_trace,
         }
+
+    if displacement and use_mesh:
+        # Stage 2 (smplify.py:228-247): per-vertex displacement to the scan.
+        # Like the JAX engine (fitting/smplify.fit), the body vertices come
+        # from the *final* parameters (documented divergence from the
+        # reference's pre-last-step snapshot, shared by both engines).
+        bv = body_vertices_final.detach()
+        disp = torch.zeros_like(bv, requires_grad=True)
+        d_opt = torch.optim.Adam([disp], lr=disp_lr, betas=(0.9, 0.999))
+        scan_fn = compute_face_normals(scan_verts, scan_faces)
+        cs = torch.as_tensor(constant_scale, dtype=dt)
+        disp_trace = []
+        for _ in range(num_iters):
+            deformed = bv + disp
+            deformed_norms = compute_vertex_normals(deformed, md.faces)
+            closest, face_idx = nearest_points_on_mesh(
+                deformed.detach(), scan_verts, scan_faces
+            )
+            icp = point_cloud_loss(deformed, closest)
+            nl = normal_loss(deformed_norms, scan_fn, face_idx)
+            sm = normal_laplacian_smoothness(deformed_norms, md.faces)
+            loss = icp + (nl + sm) * cs * 0.1
+            d_opt.zero_grad()
+            loss.backward()
+            d_opt.step()
+            disp_trace.append(float(loss.detach()))
+        result["displacement"] = disp.detach().numpy()
+        result["disp_loss_trace"] = np.asarray(disp_trace)
+
     return result

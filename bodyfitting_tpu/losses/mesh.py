@@ -15,19 +15,32 @@ from bodyfitting_tpu.ops.nearest import nearest_points
 
 
 def compute_vertex_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
-    """Area-weighted, normalised per-vertex normals (differentiable).
+    """Uniform-weighted, normalised per-vertex normals (differentiable).
 
-    Equivalent to the reference's sparse-matmul version
-    (io_utils.py:410-428): scatter face cross products to vertices, then
-    normalise.  ``verts [V,3]``, ``faces [F,3]`` -> ``[V,3]``.
+    Exact semantics of the reference's sparse-matmul version
+    (io_utils.py:409-428 ``compute_normal_torch``): face cross products are
+    *unit-normalised first* (``n / (|n| + 1e-8)``), scatter-summed to
+    vertices, then renormalised the same way — every incident face votes
+    with equal weight, not area weight.  ``verts [V,3]``, ``faces [F,3]``
+    -> ``[V,3]``.
     """
+    def unit(x):
+        # norm with torch's zero-subgradient: d|x|/dx = 0 at x = 0, so
+        # degenerate (zero-area) faces — real SMPL/scan meshes have them —
+        # contribute the same large-but-finite x'/eps gradient as the
+        # reference instead of NaN (jnp.linalg.norm's 0/0 VJP).
+        n2 = jnp.sum(x * x, -1, keepdims=True)
+        n = jnp.where(n2 > 0, jnp.sqrt(jnp.where(n2 > 0, n2, 1.0)), 0.0)
+        return x / (n + 1e-8)
+
     tris = verts[faces]                                    # [F, 3, 3]
-    fn = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    fn = unit(
+        jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    )
     vn = jnp.zeros_like(verts)
     for k in range(3):
         vn = vn.at[faces[:, k]].add(fn)
-    norm = jnp.linalg.norm(vn, axis=-1, keepdims=True)
-    return vn / jnp.maximum(norm, 1e-12)
+    return unit(vn)
 
 
 def compute_face_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:

@@ -902,6 +902,51 @@ def reduce_for_joints(model: BodyModel) -> BodyModel:
 # ---------------------------------------------------------------------------
 
 
+def sphere_mesh(num_verts: int, rng):
+    """A structured, well-conditioned closed triangle mesh with ~num_verts
+    vertices: a UV-sphere grid squashed into a body-like ellipsoid with a
+    smooth radial wobble.  Unlike a random triangulation (which is mostly
+    sliver triangles whose unit normals rotate wildly under tiny vertex
+    perturbations), this mesh has bounded aspect ratios — required by
+    tests/benches of surface losses (vertex normals, Laplacian smoothness,
+    displacement fitting), where mesh conditioning sets the Lyapunov rate
+    of the optimization.
+
+    Returns ``(verts [V, 3] float64, faces [F, 3] int32)`` with
+    ``V = rows * cols + 2`` chosen as close to ``num_verts`` as possible.
+    """
+    rows = max(int(np.sqrt(max(num_verts - 2, 8) / 2)), 2)
+    cols = max((num_verts - 2) // rows, 3)
+    th = np.pi * (np.arange(1, rows + 1)) / (rows + 1)      # (0, pi)
+    ph = 2 * np.pi * np.arange(cols) / cols
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    pts = np.stack(
+        [np.sin(T) * np.cos(P), np.cos(T), np.sin(T) * np.sin(P)], -1
+    ).reshape(-1, 3)
+    top = np.array([[0.0, 1.0, 0.0]])
+    bot = np.array([[0.0, -1.0, 0.0]])
+    verts = np.concatenate([top, pts, bot], axis=0)         # [V, 3]
+    # body-ish ellipsoid + smooth low-frequency bumps (arms/legs stand-in)
+    verts = verts * np.array([0.35, 0.9, 0.25])
+    wob = 0.08 * np.sin(5.0 * verts[:, 1] + 2.0) \
+        + 0.05 * np.cos(4.0 * verts[:, 0] + 1.0)
+    verts = verts * (1.0 + wob[:, None])
+    verts = verts + rng.normal(scale=0.002, size=verts.shape)
+
+    def vid(r, c):
+        return 1 + r * cols + (c % cols)
+
+    faces = []
+    for c in range(cols):                                   # caps
+        faces.append([0, vid(0, c + 1), vid(0, c)])
+        faces.append([len(verts) - 1, vid(rows - 1, c), vid(rows - 1, c + 1)])
+    for r in range(rows - 1):                               # quad strips
+        for c in range(cols):
+            faces.append([vid(r, c), vid(r, c + 1), vid(r + 1, c)])
+            faces.append([vid(r, c + 1), vid(r + 1, c + 1), vid(r + 1, c)])
+    return verts.astype(np.float64), np.asarray(faces, np.int32)
+
+
 def synthetic_model(
     model_type: str = "smpl",
     num_verts: int = 256,
@@ -911,8 +956,15 @@ def synthetic_model(
     num_hand_pca: int = 6,
     use_face_contour: bool = True,
     dtype=jnp.float32,
+    mesh: str = "random",
 ) -> BodyModel:
     """A small, structurally-valid random body model for tests and benches.
+
+    ``mesh='sphere'`` replaces the random point cloud + random
+    triangulation with a structured closed surface (:func:`sphere_mesh`) —
+    use it whenever surface quality matters (normals, smoothness,
+    displacement fits); ``'random'`` keeps the historical generator that
+    most fixtures were pinned against.
 
     Mirrors the real asset structure: normalized joint regressor rows,
     convex skinning weights concentrated on nearby joints, a plausible
@@ -941,8 +993,13 @@ def synthetic_model(
     else:
         raise ValueError(model_type)
 
-    V = num_verts
-    v_template = rng.normal(scale=0.3, size=(V, 3))
+    if mesh == "sphere":
+        v_template, sphere_faces = sphere_mesh(num_verts, rng)
+        V = v_template.shape[0]
+    else:
+        V = num_verts
+        v_template = rng.normal(scale=0.3, size=(V, 3))
+        sphere_faces = None
     # Rest joints as convex combos of vertices -> normalized regressor rows.
     Jreg = rng.random((J, V)) ** 8
     Jreg /= Jreg.sum(axis=1, keepdims=True)
@@ -961,10 +1018,34 @@ def synthetic_model(
     # vertices all sit on the head, and tests/benches of the joints-only
     # reduction need that locality to be representative.
     F = max(2 * V, 64)
-    faces = rng.integers(0, V, size=(F, 3)).astype(np.int32)
-    lmk_pool = min(max(F // 16, 8), 256)
-    head_verts = max(V // 10, 8)
-    faces[:lmk_pool] = rng.integers(0, head_verts, size=(lmk_pool, 3))
+
+    def distinct_tris(n, pool):
+        # three DISTINCT indices per face: real SMPL meshes have no
+        # duplicate-vertex (zero-area) faces, and a degenerate face makes
+        # the eps-guarded unit-normal gradient an amplified (~1/eps)
+        # rounding-noise source that breaks cross-engine f64 parity of
+        # the displacement stage (see losses/mesh.compute_vertex_normals)
+        a = rng.integers(0, pool, size=n)
+        b = (a + 1 + rng.integers(0, pool - 1, size=n)) % pool
+        c = (a + 1 + rng.integers(0, pool - 1, size=n)) % pool
+        while True:
+            clash = c == b
+            if not clash.any():
+                break
+            c[clash] = (
+                a[clash] + 1 + rng.integers(0, pool - 1, size=clash.sum())
+            ) % pool
+        return np.stack([a, b, c], axis=1).astype(np.int32)
+
+    if sphere_faces is not None:
+        faces = sphere_faces
+        F = faces.shape[0]
+        lmk_pool = min(max(F // 16, 8), 256)
+    else:
+        faces = distinct_tris(F, V)
+        lmk_pool = min(max(F // 16, 8), 256)
+        head_verts = max(V // 10, 8)
+        faces[:lmk_pool] = distinct_tris(lmk_pool, head_verts)
 
     is_x = model_type == "smplx"
     has_hands = model_type in ("smplh", "smplx")

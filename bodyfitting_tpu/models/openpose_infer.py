@@ -117,113 +117,135 @@ def find_peaks(heatmap_avg: np.ndarray, thre1: float = 0.1):
     return all_peaks
 
 
+def _limb_links(peaks_a, peaks_b, paf_xy, img_h, thre2, mid_num):
+    """Score and greedily match one limb type's endpoint peaks.
+
+    The published PAF matching rule (Cao et al., CVPR 2017): each (a, b)
+    peak pair is scored by the mean alignment of the part-affinity field
+    sampled along the segment plus a length penalty, kept only when >80%
+    of the samples align above ``thre2`` and the total is positive; pairs
+    are then accepted best-first while neither endpoint is already taken,
+    up to ``min(|A|, |B|)`` links.
+
+    Returns ``[(global_peak_id_a, global_peak_id_b, score)]``.
+    """
+    scored = []
+    for i, a in enumerate(peaks_a):
+        for j, b in enumerate(peaks_b):
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            length = max(math.hypot(dx, dy), 0.1)
+            xs = np.round(np.linspace(a[0], b[0], mid_num)).astype(int)
+            ys = np.round(np.linspace(a[1], b[1], mid_num)).astype(int)
+            along = paf_xy[ys, xs] @ (
+                np.array([dx, dy], np.float64) / length
+            )
+            score = along.mean() + min(0.5 * img_h / length - 1, 0)
+            if np.count_nonzero(along > thre2) > 0.8 * mid_num and score > 0:
+                scored.append((i, j, score))
+    scored.sort(key=lambda t: t[2], reverse=True)
+    links, taken_a, taken_b = [], set(), set()
+    for i, j, score in scored:
+        if i in taken_a or j in taken_b:
+            continue
+        links.append((int(peaks_a[i][3]), int(peaks_b[j][3]), score))
+        taken_a.add(i)
+        taken_b.add(j)
+        if len(links) >= min(len(peaks_a), len(peaks_b)):
+            break
+    return links
+
+
+class _PersonDraft:
+    """A person being assembled: one global peak id per COCO-18 part slot
+    (-1 = unfilled), plus the running score (member peak scores + limb
+    scores) and the filled-part count."""
+
+    __slots__ = ("part_peak", "score", "n_parts")
+
+    def __init__(self):
+        self.part_peak = np.full(18, -1, np.int64)
+        self.score = 0.0
+        self.n_parts = 0
+
+
 def assemble_people(all_peaks, paf_avg, img_h, thre2: float = 0.05,
                     mid_num: int = 100):
-    """Greedy PAF limb assembly -> (candidate [N,4], subset [P,20])
-    (reference body.py:137-240)."""
-    connection_all, special_k = [], []
-    for k, (limb, midx) in enumerate(zip(LIMB_SEQ, MAP_IDX)):
-        score_mid = paf_avg[:, :, [midx[0] - 19, midx[1] - 19]]
-        candA = all_peaks[limb[0] - 1]
-        candB = all_peaks[limb[1] - 1]
-        if not candA or not candB:
-            special_k.append(k)
-            connection_all.append([])
-            continue
-        candidates = []
-        for i, a in enumerate(candA):
-            for j, b in enumerate(candB):
-                vec = np.array([b[0] - a[0], b[1] - a[1]], np.float64)
-                norm = max(math.hypot(*vec), 0.1)
-                vecn = vec / norm
-                xs = np.round(np.linspace(a[0], b[0], mid_num)).astype(int)
-                ys = np.round(np.linspace(a[1], b[1], mid_num)).astype(int)
-                pts = score_mid[ys, xs]                    # [mid, 2]
-                score_midpts = pts[:, 0] * vecn[0] + pts[:, 1] * vecn[1]
-                score = score_midpts.mean() + min(
-                    0.5 * img_h / norm - 1, 0
-                )
-                if (np.count_nonzero(score_midpts > thre2)
-                        > 0.8 * mid_num and score > 0):
-                    candidates.append((i, j, score))
-        candidates.sort(key=lambda c: c[2], reverse=True)
-        connection = np.zeros((0, 5))
-        used_i, used_j = set(), set()
-        for i, j, s in candidates:
-            if i in used_i or j in used_j:
-                continue
-            connection = np.vstack(
-                [connection, [candA[i][3], candB[j][3], s, i, j]]
-            )
-            used_i.add(i)
-            used_j.add(j)
-            if len(connection) >= min(len(candA), len(candB)):
-                break
-        connection_all.append(connection)
+    """Greedy PAF limb assembly -> ``(candidate [N,4], subset [P,20])``.
 
-    subset = -1 * np.ones((0, 20))
+    The grouping *procedure* is the published OpenPose algorithm (Cao et
+    al., CVPR 2017) that the reference vendors via pytorch-openpose (MIT;
+    /root/reference/openpose/body.py:137-240): per limb type, greedy
+    PAF-scored endpoint matching (:func:`_limb_links`); then each accepted
+    link either extends a draft person owning one endpoint, merges two
+    part-disjoint drafts, or — for the first 17 limb types — spawns a new
+    draft.  Structured here around explicit :class:`_PersonDraft` records
+    instead of CMU's growing score matrix; behaviour is identical,
+    including the quirks: a draft matched only through its B-endpoint
+    never gains the link's A-endpoint, and overlapping drafts absorb the
+    B-endpoint into the first draft unconditionally.
+
+    Output contract (what the downstream JSON writer and tests consume):
+    ``candidate`` rows are ``(x, y, score, id)`` peaks; ``subset`` rows are
+    18 candidate ids (-1 = missing) + [total score, part count], filtered
+    to >=4 parts and mean score >= 0.4.
+    """
     candidate = np.array(
         [p for peaks in all_peaks for p in peaks], np.float64
     ).reshape(-1, 4)
-    for k in range(len(MAP_IDX)):
-        if k in special_k:
-            continue
-        partAs = connection_all[k][:, 0]
-        partBs = connection_all[k][:, 1]
-        idxA, idxB = np.array(LIMB_SEQ[k]) - 1
-        for i in range(len(connection_all[k])):
-            found = 0
-            subset_idx = [-1, -1]
-            for j in range(len(subset)):
-                if (subset[j][idxA] == partAs[i]
-                        or subset[j][idxB] == partBs[i]):
-                    if found < 2:
-                        subset_idx[found] = j
-                    found += 1
-            if found == 1:
-                j = subset_idx[0]
-                if subset[j][idxB] != partBs[i]:
-                    subset[j][idxB] = partBs[i]
-                    subset[j][-1] += 1
-                    subset[j][-2] += (
-                        candidate[int(partBs[i]), 2]
-                        + connection_all[k][i][2]
-                    )
-            elif found == 2:
-                j1, j2 = subset_idx
-                membership = (
-                    (subset[j1] >= 0).astype(int)
-                    + (subset[j2] >= 0).astype(int)
-                )[:-2]
-                if not (membership == 2).any():          # disjoint: merge
-                    subset[j1][:-2] += subset[j2][:-2] + 1
-                    subset[j1][-2:] += subset[j2][-2:]
-                    subset[j1][-2] += connection_all[k][i][2]
-                    subset = np.delete(subset, j2, 0)
-                else:
-                    subset[j1][idxB] = partBs[i]
-                    subset[j1][-1] += 1
-                    subset[j1][-2] += (
-                        candidate[int(partBs[i]), 2]
-                        + connection_all[k][i][2]
-                    )
-            elif not found and k < 17:
-                row = -1 * np.ones(20)
-                row[idxA] = partAs[i]
-                row[idxB] = partBs[i]
-                row[-1] = 2
-                row[-2] = (
-                    candidate[int(partAs[i]), 2]
-                    + candidate[int(partBs[i]), 2]
-                    + connection_all[k][i][2]
-                )
-                subset = np.vstack([subset, row])
+    peak_score = candidate[:, 2] if len(candidate) else np.zeros(0)
 
-    keep = [
-        i for i in range(len(subset))
-        if subset[i][-1] >= 4 and subset[i][-2] / subset[i][-1] >= 0.4
+    people = []
+    for k, ((pa, pb), (mx, my)) in enumerate(zip(LIMB_SEQ, MAP_IDX)):
+        slot_a, slot_b = pa - 1, pb - 1
+        paf_xy = paf_avg[:, :, [mx - 19, my - 19]]
+        links = _limb_links(
+            all_peaks[slot_a], all_peaks[slot_b], paf_xy, img_h, thre2,
+            mid_num,
+        )
+        for id_a, id_b, limb_score in links:
+            owners = [
+                p for p in people
+                if p.part_peak[slot_a] == id_a or p.part_peak[slot_b] == id_b
+            ]
+            if len(owners) == 1:
+                p = owners[0]
+                if p.part_peak[slot_b] != id_b:
+                    p.part_peak[slot_b] = id_b
+                    p.n_parts += 1
+                    p.score += peak_score[id_b] + limb_score
+            elif len(owners) >= 2:
+                first, second = owners[0], owners[1]
+                overlap = (
+                    (first.part_peak >= 0) & (second.part_peak >= 0)
+                ).any()
+                if not overlap:
+                    take = first.part_peak < 0
+                    first.part_peak[take] = second.part_peak[take]
+                    first.n_parts += second.n_parts
+                    first.score += second.score + limb_score
+                    people.remove(second)
+                else:
+                    first.part_peak[slot_b] = id_b
+                    first.n_parts += 1
+                    first.score += peak_score[id_b] + limb_score
+            elif k < 17:
+                p = _PersonDraft()
+                p.part_peak[slot_a] = id_a
+                p.part_peak[slot_b] = id_b
+                p.n_parts = 2
+                p.score = peak_score[id_a] + peak_score[id_b] + limb_score
+                people.append(p)
+
+    kept = [
+        p for p in people
+        if p.n_parts >= 4 and p.score / p.n_parts >= 0.4
     ]
-    return candidate, subset[keep]
+    subset = np.full((len(kept), 20), -1.0)
+    for r, p in enumerate(kept):
+        subset[r, :18] = p.part_peak
+        subset[r, 18] = p.score
+        subset[r, 19] = p.n_parts
+    return candidate, subset
 
 
 def hand_boxes(candidate, subset, img_shape, ratio_wrist_elbow=0.33):

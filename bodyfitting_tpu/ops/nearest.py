@@ -84,12 +84,13 @@ def closest_point_on_triangles(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("face_block",))
+@functools.partial(jax.jit, static_argnames=("face_block", "tie_break"))
 def nearest_point_on_mesh(
     points: jax.Array,
     verts: jax.Array,
     faces: jax.Array,
     face_block: int = 512,
+    tie_break: bool = True,
 ):
     """For each query point, the closest point on the mesh surface.
 
@@ -100,9 +101,22 @@ def nearest_point_on_mesh(
         are fine — a duplicate-vertex face still yields a valid point.
       face_block: chunk of faces scanned per step (controls peak memory:
         the transient is ``[Q, face_block]`` floats).
+      tie_break: resolve equal-distance ties deterministically (see below).
 
     Returns:
       ``(closest [Q, 3], face_idx [Q] int32, sqdist [Q])``.
+
+    Tie-breaking: a query in the Voronoi region of a mesh *edge* (a
+    positive-measure event, not a degeneracy) is equidistant from both
+    incident faces, and which one a running-argmin reports depends on
+    floating-point rounding of the two face's distance computations — so
+    the face index (hence the normal-loss term that reads the face's
+    normal, reference loss.py:260-271) would differ between any two
+    correct implementations.  With ``tie_break=True`` a second sweep
+    returns the LOWEST face index within a rounding-scale distance band
+    of the minimum, making the result implementation-independent (the
+    torch re-enactment applies the identical rule).  Costs a second pass
+    over the faces.
     """
     from bodyfitting_tpu.ops.blocking import num_blocks, pad_to_blocks
 
@@ -112,14 +126,18 @@ def nearest_point_on_mesh(
     # Pad with far-away degenerate triangles so they never win.
     tri = pad_to_blocks(verts[faces], face_block, 1e9)
 
-    def body(carry, inp):
-        best_d2, best_idx, best_pt = carry
-        blk_idx, tri_blk = inp
+    def closest_block(tri_blk):
         cp = closest_point_on_triangles(
             points[:, None, :], tri_blk[None, :, 0], tri_blk[None, :, 1],
             tri_blk[None, :, 2],
         )                                                   # [Q, FB, 3]
         d2 = jnp.sum((points[:, None, :] - cp) ** 2, -1)    # [Q, FB]
+        return cp, d2
+
+    def body(carry, inp):
+        best_d2, best_idx, best_pt = carry
+        blk_idx, tri_blk = inp
+        cp, d2 = closest_block(tri_blk)
         arg = jnp.argmin(d2, axis=1)                        # [Q]
         min_d2 = jnp.take_along_axis(d2, arg[:, None], 1)[:, 0]
         min_pt = jnp.take_along_axis(cp, arg[:, None, None], 1)[:, 0]
@@ -137,9 +155,50 @@ def nearest_point_on_mesh(
         jnp.zeros((Q, 3), points.dtype),
     )
     (d2, idx, pt), _ = jax.lax.scan(
-        body, init, (jnp.arange(nblocks), tri)
+        body, init, (jnp.arange(nblocks, dtype=jnp.int32), tri)
     )
-    return pt, idx, d2
+    if not tie_break:
+        return pt, idx, d2
+
+    thresh = tie_threshold(d2, verts)
+
+    def tie_body(carry, inp):
+        low_idx = carry
+        blk_idx, tri_blk = inp
+        _, bd2 = closest_block(tri_blk)
+        fidx = blk_idx * face_block + jnp.arange(
+            face_block, dtype=jnp.int32
+        )[None, :]
+        cand = jnp.where(bd2 <= thresh[:, None], fidx, jnp.int32(2**30))
+        return jnp.minimum(low_idx, cand.min(axis=1)), None
+
+    low0 = jnp.full((Q,), 2**30, jnp.int32)
+    low_idx, _ = jax.lax.scan(
+        tie_body, low0, (jnp.arange(nblocks, dtype=jnp.int32), tri)
+    )
+    idx_tb = jnp.minimum(low_idx, idx)
+    # Recompute the closest point on the tie-broken face so pt and idx
+    # stay consistent (equal to the pass-1 point up to ~1 ulp on ties).
+    tri_tb = verts[faces][jnp.clip(idx_tb, 0, F - 1)]       # [Q, 3, 3]
+    pt_tb = closest_point_on_triangles(
+        points, tri_tb[:, 0], tri_tb[:, 1], tri_tb[:, 2]
+    )
+    return pt_tb, idx_tb, d2
+
+
+def tie_threshold(best_d2: jax.Array, verts: jax.Array) -> jax.Array:
+    """Distance-squared band counting as "tied with the minimum".
+
+    ``best + 32 eps (best + diag^2)``: the relative term catches rounding
+    between two algorithms' evaluations of the same tie, the bbox-diagonal
+    absolute term catches exact-zero minima (a query ON the surface).
+    Shared verbatim by the torch re-enactment so both engines see the same
+    tie sets.
+    """
+    eps = jnp.finfo(best_d2.dtype).eps
+    ext = verts.max(axis=0) - verts.min(axis=0)
+    diag2 = jnp.sum(ext * ext)
+    return best_d2 + 32.0 * eps * (best_d2 + diag2)
 
 
 def nearest_points(

@@ -129,7 +129,7 @@ def rasterize(
     P = H * W
     init = (jnp.full((P,), _FAR, face_px.dtype), jnp.full((P,), -1, jnp.int32))
     (zbuf, fidx), _ = jax.lax.scan(
-        body, init, (jnp.arange(fpx.shape[0]), fpx, fz)
+        body, init, (jnp.arange(fpx.shape[0], dtype=jnp.int32), fpx, fz)
     )
 
     # Recompute perspective-correct barycentrics for the winning faces only.

@@ -28,24 +28,98 @@ _VERTEX_AXIS1 = ("J_regressor", "extra_joint_regressor")
 _VERTEX_FLAT = ("shapedirs", "posedirs", "expr_dirs", "kid_shape_dir")
 
 
+def pad_model_vertices(model: bm.BodyModel, multiple: int) -> bm.BodyModel:
+    """Pad the vertex axis to a multiple of ``multiple`` with inert rows.
+
+    Makes any model shardable over any mesh size (SMPL-X's V=10475 is odd,
+    so without padding no even ``tp`` factor works).  Pad rows are exact
+    no-ops for everything real: zero blendshape columns, zero regressor
+    columns (joints unchanged), zero LBS-weight rows (a padded vertex's
+    skinning transform is identically 0, so its output coordinates are 0
+    and carry no gradient).  Faces, selector ids and landmark tables keep
+    their original indices — no real vertex moves.  Forward outputs gain
+    ``V_pad - V`` trailing all-zero vertex rows; slice ``[:V]`` where the
+    original count matters (``model.num_verts`` of the unpadded model).
+    """
+    V = model.v_template.shape[0]
+    V_pad = -(-V // multiple) * multiple
+    if V_pad == V:
+        return model
+    extra = V_pad - V
+
+    def pad_rows(x):          # [V, *] -> [V_pad, *]
+        if x is None:
+            return None
+        import numpy as np
+
+        widths = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+        return jax.numpy.asarray(
+            np.pad(np.asarray(x), widths), dtype=x.dtype
+        )
+
+    def pad_cols(x):          # [*, V] -> [*, V_pad]
+        if x is None:
+            return None
+        import numpy as np
+
+        widths = [(0, 0)] * (x.ndim - 1) + [(0, extra)]
+        return jax.numpy.asarray(
+            np.pad(np.asarray(x), widths), dtype=x.dtype
+        )
+
+    def pad_flat(x):          # [*, 3V] (or [3V]) vertex-major -> [*, 3V_pad]
+        if x is None:
+            return None
+        import numpy as np
+
+        arr = np.asarray(x)
+        lead = arr.shape[:-1]
+        unflat = arr.reshape(lead + (V, 3))
+        widths = [(0, 0)] * len(lead) + [(0, extra), (0, 0)]
+        padded = np.pad(unflat, widths)
+        return jax.numpy.asarray(
+            padded.reshape(lead + (3 * V_pad,)), dtype=x.dtype
+        )
+
+    updates = dict(
+        v_template=pad_rows(model.v_template),
+        lbs_weights=pad_rows(model.lbs_weights),
+        J_regressor=pad_cols(model.J_regressor),
+        extra_joint_regressor=pad_cols(model.extra_joint_regressor),
+        shapedirs=pad_flat(model.shapedirs),
+        posedirs=pad_flat(model.posedirs),
+        expr_dirs=pad_flat(model.expr_dirs),
+        kid_shape_dir=pad_flat(model.kid_shape_dir),
+    )
+    updates = {k: v for k, v in updates.items()
+               if getattr(model, k) is not None}
+    return dataclasses.replace(model, **updates)
+
+
 def shard_model_vertices(
-    model: bm.BodyModel, mesh: Mesh, axis: str = "tp"
+    model: bm.BodyModel, mesh: Mesh, axis: str = "tp",
+    auto_pad: bool = True,
 ) -> bm.BodyModel:
     """Place the model's per-vertex arrays sharded over ``mesh[axis]``.
 
     Both V (for ``v_template``/``lbs_weights``) and 3V (for the flattened
-    blendshape bases) must divide the axis size: SMPL's V=6890 divides 2,
-    but SMPL-X's V=10475 is odd (3V=31425 too) — pad the vertex axis to a
-    multiple of the mesh size first for any even ``tp`` factor.  Faces
-    and selector ids are gather indices and stay replicated.
+    blendshape bases) must divide the axis size; with ``auto_pad`` any
+    model (including the real SMPL-X, whose V=10475 is odd) is first run
+    through :func:`pad_model_vertices`, whose pad rows are exact no-ops —
+    forward outputs then carry trailing zero vertex rows (slice to the
+    original count where it matters).  Faces and selector ids are gather
+    indices and stay replicated.
     """
     size = mesh.shape[axis]
     if model.v_template.shape[0] % size or \
             (3 * model.v_template.shape[0]) % size:
-        raise ValueError(
-            f"vertex count {model.v_template.shape[0]} (and 3V) must "
-            f"divide mesh['{axis}'] = {size}; pad the model's vertex axis"
-        )
+        if not auto_pad:
+            raise ValueError(
+                f"vertex count {model.v_template.shape[0]} (and 3V) must "
+                f"divide mesh['{axis}'] = {size}; pad the model's vertex "
+                f"axis (pad_model_vertices) or pass auto_pad=True"
+            )
+        model = pad_model_vertices(model, size)
     def place(name, x):
         if x is None:
             return None

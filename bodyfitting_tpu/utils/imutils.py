@@ -1,8 +1,15 @@
 """SPIN-style image/keypoint augmentation utilities (host-side numpy).
 
-Re-implements the reference's utils/imutils.py: the center+scale crop
-transform used for HMR preprocessing (h = 200*scale convention), its
-inverse, and the flip helpers.  The deprecated scipy.misc calls are
+The center+scale crop transform used for HMR preprocessing (the
+"box height = 200 * scale" convention), its inverse, and the left-right
+flip helpers for images, SPIN keypoints and SMPL pose vectors.
+
+The numerical contract here is exact and inherited: HMR was trained on
+crops produced by SPIN's MIT-licensed ``utils/imutils.py`` (which the
+reference vendors at /root/reference/utils/imutils.py), including its
+1-based pixel offsets and integer truncations — reproducing those to the
+pixel is the point, so the formulas below are **derived from SPIN (MIT)**
+rather than redesigned.  The deprecated ``scipy.misc`` image calls are
 replaced with cv2.
 """
 
@@ -28,102 +35,125 @@ SPIN_JOINT_FLIP_PERM = (
 
 
 def get_transform(center, scale, res, rot=0):
-    """Crop-to-output transform matrix (reference imutils.py:14-40)."""
-    h = 200 * scale
-    t = np.zeros((3, 3))
-    t[0, 0] = float(res[1]) / h
-    t[1, 1] = float(res[0]) / h
-    t[0, 2] = res[1] * (-float(center[0]) / h + 0.5)
-    t[1, 2] = res[0] * (-float(center[1]) / h + 0.5)
-    t[2, 2] = 1
+    """Affine (3x3) mapping original-image pixels into the crop's pixels.
+
+    The crop is the square of side ``200 * scale`` original pixels
+    centered on ``center``, resampled to ``res = (out_h, out_w)``;
+    ``rot`` degrees of rotation are applied about the crop center.
+    (Exact SPIN semantics, reference imutils.py:14-40.)
+    """
+    box_h = 200.0 * scale
+    out_h, out_w = float(res[0]), float(res[1])
+    m = np.array([
+        [out_w / box_h, 0.0, out_w * (-float(center[0]) / box_h + 0.5)],
+        [0.0, out_h / box_h, out_h * (-float(center[1]) / box_h + 0.5)],
+        [0.0, 0.0, 1.0],
+    ])
     if rot != 0:
-        rot_rad = -rot * np.pi / 180
-        sn, cs = np.sin(rot_rad), np.cos(rot_rad)
-        rot_mat = np.eye(3)
-        rot_mat[0, :2] = [cs, -sn]
-        rot_mat[1, :2] = [sn, cs]
-        t_mat = np.eye(3)
-        t_mat[0, 2] = -res[1] / 2
-        t_mat[1, 2] = -res[0] / 2
-        t_inv = t_mat.copy()
-        t_inv[:2, 2] *= -1
-        t = t_inv @ rot_mat @ t_mat @ t
-    return t
+        ang = -rot * np.pi / 180.0
+        cs, sn = np.cos(ang), np.sin(ang)
+        spin = np.array([
+            [cs, -sn, 0.0], [sn, cs, 0.0], [0.0, 0.0, 1.0],
+        ])
+        to_center = np.eye(3)
+        to_center[:2, 2] = [-out_w / 2, -out_h / 2]
+        from_center = np.eye(3)
+        from_center[:2, 2] = [out_w / 2, out_h / 2]
+        m = from_center @ spin @ to_center @ m
+    return m
 
 
 def transform(pt, center, scale, res, invert=0, rot=0):
-    """Map a pixel between original and cropped frames
-    (reference imutils.py:42-49, including its 1-based offsets)."""
-    t = get_transform(center, scale, res, rot=rot)
+    """Map one pixel between the original and cropped frames.
+
+    Keeps SPIN's quirks on purpose (reference imutils.py:42-49): pixels
+    are treated 1-based on the way in and out, and the result is
+    truncated to int — the integer crop boxes below depend on it.
+    """
+    m = get_transform(center, scale, res, rot=rot)
     if invert:
-        t = np.linalg.inv(t)
-    new_pt = t @ np.array([pt[0] - 1, pt[1] - 1, 1.0])
-    return new_pt[:2].astype(int) + 1
+        m = np.linalg.inv(m)
+    mapped = m @ np.array([pt[0] - 1, pt[1] - 1, 1.0])
+    return mapped[:2].astype(int) + 1
+
+
+def _overlap(box_ul, box_br, img_h, img_w):
+    """Index ranges pasting the image region ``[ul, br)`` into a canvas
+    whose origin sits at ``box_ul``: returns ``(canvas_y, canvas_x,
+    image_y, image_x)`` as (start, stop) pairs."""
+    canvas_x = max(0, -box_ul[0]), min(box_br[0], img_w) - box_ul[0]
+    canvas_y = max(0, -box_ul[1]), min(box_br[1], img_h) - box_ul[1]
+    image_x = max(0, box_ul[0]), min(img_w, box_br[0])
+    image_y = max(0, box_ul[1]), min(img_h, box_br[1])
+    return canvas_y, canvas_x, image_y, image_x
+
+
+def _crop_box(center, scale, res):
+    """Integer (x, y) corners of the crop box in original-image pixels."""
+    box_ul = np.array(transform([1, 1], center, scale, res, invert=1)) - 1
+    box_br = np.array(
+        transform([res[0] + 1, res[1] + 1], center, scale, res, invert=1)
+    ) - 1
+    return box_ul, box_br
 
 
 def crop(img, center, scale, res, rot=0):
-    """Crop + resize with zero padding (reference imutils.py:51-86)."""
+    """Crop + resize with zero padding (reference imutils.py:51-86).
+
+    With rotation the canvas is grown by a diagonal-sized margin first so
+    the rotated content never clips, then trimmed back.
+    """
     import cv2
 
-    ul = np.array(transform([1, 1], center, scale, res, invert=1)) - 1
-    br = np.array(
-        transform([res[0] + 1, res[1] + 1], center, scale, res, invert=1)
-    ) - 1
-    pad = int(np.linalg.norm(br - ul) / 2 - float(br[1] - ul[1]) / 2)
+    box_ul, box_br = _crop_box(center, scale, res)
+    margin = int(
+        np.linalg.norm(box_br - box_ul) / 2
+        - float(box_br[1] - box_ul[1]) / 2
+    )
     if rot != 0:
-        ul -= pad
-        br += pad
-    new_shape = [br[1] - ul[1], br[0] - ul[0]]
+        box_ul -= margin
+        box_br += margin
+    canvas_shape = [box_br[1] - box_ul[1], box_br[0] - box_ul[0]]
     if img.ndim > 2:
-        new_shape += [img.shape[2]]
-    new_img = np.zeros(new_shape, dtype=img.dtype)
+        canvas_shape += [img.shape[2]]
+    canvas = np.zeros(canvas_shape, dtype=img.dtype)
 
-    new_x = max(0, -ul[0]), min(br[0], img.shape[1]) - ul[0]
-    new_y = max(0, -ul[1]), min(br[1], img.shape[0]) - ul[1]
-    old_x = max(0, ul[0]), min(img.shape[1], br[0])
-    old_y = max(0, ul[1]), min(img.shape[0], br[1])
-    new_img[new_y[0]:new_y[1], new_x[0]:new_x[1]] = img[
-        old_y[0]:old_y[1], old_x[0]:old_x[1]
-    ]
+    cy, cx, iy, ix = _overlap(box_ul, box_br, img.shape[0], img.shape[1])
+    canvas[cy[0]:cy[1], cx[0]:cx[1]] = img[iy[0]:iy[1], ix[0]:ix[1]]
     if rot != 0:
-        M = cv2.getRotationMatrix2D(
-            (new_img.shape[1] / 2, new_img.shape[0] / 2), rot, 1.0
+        spin = cv2.getRotationMatrix2D(
+            (canvas.shape[1] / 2, canvas.shape[0] / 2), rot, 1.0
         )
-        new_img = cv2.warpAffine(
-            new_img.astype(np.float32), M,
-            (new_img.shape[1], new_img.shape[0]),
+        canvas = cv2.warpAffine(
+            canvas.astype(np.float32), spin,
+            (canvas.shape[1], canvas.shape[0]),
         )
-        new_img = new_img[pad:-pad, pad:-pad]
+        canvas = canvas[margin:-margin, margin:-margin]
     return cv2.resize(
-        new_img.astype(np.float32), (res[1], res[0]),
+        canvas.astype(np.float32), (res[1], res[0]),
         interpolation=cv2.INTER_LINEAR,
     ).astype(img.dtype)
 
 
 def uncrop(img, center, scale, orig_shape):
     """Paste a cropped image back into the original frame
-    (reference imutils.py:88-113)."""
+    (reference imutils.py:88-113; nearest-neighbour upsampling, as there).
+    """
     import cv2
 
     res = img.shape[:2]
-    ul = np.array(transform([1, 1], center, scale, res, invert=1)) - 1
-    br = np.array(
-        transform([res[0] + 1, res[1] + 1], center, scale, res, invert=1)
-    ) - 1
-    crop_shape = (br[0] - ul[0], br[1] - ul[1])
-    new_img = np.zeros(orig_shape, dtype=img.dtype)
-    new_x = max(0, -ul[0]), min(br[0], orig_shape[1]) - ul[0]
-    new_y = max(0, -ul[1]), min(br[1], orig_shape[0]) - ul[1]
-    old_x = max(0, ul[0]), min(orig_shape[1], br[0])
-    old_y = max(0, ul[1]), min(orig_shape[0], br[1])
+    box_ul, box_br = _crop_box(center, scale, res)
+    restored = np.zeros(orig_shape, dtype=img.dtype)
+    cy, cx, iy, ix = _overlap(
+        box_ul, box_br, orig_shape[0], orig_shape[1]
+    )
     img = cv2.resize(
-        img.astype(np.float32), crop_shape,
+        img.astype(np.float32),
+        (box_br[0] - box_ul[0], box_br[1] - box_ul[1]),
         interpolation=cv2.INTER_NEAREST,
-    ).astype(new_img.dtype)
-    new_img[old_y[0]:old_y[1], old_x[0]:old_x[1]] = img[
-        new_y[0]:new_y[1], new_x[0]:new_x[1]
-    ]
-    return new_img
+    ).astype(restored.dtype)
+    restored[iy[0]:iy[1], ix[0]:ix[1]] = img[cy[0]:cy[1], cx[0]:cx[1]]
+    return restored
 
 
 def rot_aa(aa, rot):
@@ -131,15 +161,17 @@ def rot_aa(aa, rot):
     (reference imutils.py:115-127)."""
     import cv2
 
-    R = np.array([
-        [np.cos(np.deg2rad(-rot)), -np.sin(np.deg2rad(-rot)), 0],
-        [np.sin(np.deg2rad(-rot)), np.cos(np.deg2rad(-rot)), 0],
+    ang = np.deg2rad(-rot)
+    Rz = np.array([
+        [np.cos(ang), -np.sin(ang), 0],
+        [np.sin(ang), np.cos(ang), 0],
         [0, 0, 1],
     ])
-    per_rdg, _ = cv2.Rodrigues(np.asarray(aa, np.float64))
-    resrot, _ = cv2.Rodrigues(R @ per_rdg)
-    return resrot.T[0].astype(aa.dtype if hasattr(aa, "dtype") else
-                              np.float32)
+    R_aa, _ = cv2.Rodrigues(np.asarray(aa, np.float64))
+    rotated, _ = cv2.Rodrigues(Rz @ R_aa)
+    return rotated.T[0].astype(
+        aa.dtype if hasattr(aa, "dtype") else np.float32
+    )
 
 
 def flip_img(img):

@@ -32,10 +32,46 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import numpy as np  # noqa: E402
 
 
+def _subdivide(verts: np.ndarray, faces: np.ndarray):
+    """One midpoint (1->4) subdivision with edge-midpoint dedup."""
+    edge_mid = {}
+    new_verts = [v for v in verts]
+
+    def mid(i, j):
+        key = (min(i, j), max(i, j))
+        if key not in edge_mid:
+            edge_mid[key] = len(new_verts)
+            new_verts.append(0.5 * (verts[key[0]] + verts[key[1]]))
+        return edge_mid[key]
+
+    new_faces = []
+    for a, b, c in faces:
+        mab, mbc, mca = mid(a, b), mid(b, c), mid(c, a)
+        new_faces += [
+            [a, mab, mca], [b, mbc, mab], [c, mca, mbc], [mab, mbc, mca]
+        ]
+    return (
+        np.asarray(new_verts, verts.dtype),
+        np.asarray(new_faces, np.int32),
+    )
+
+
 def make_inputs(num_verts: int, n_views: int, seed: int = 0,
-                dtype_str: str = "f32"):
-    """Synthetic GeneBody-like scene: SMPL-X model, ring cameras, keypoints
-    projected from a ground-truth body (conf 1), zero-init fit params."""
+                dtype_str: str = "f32", fit_config: str = "kp",
+                imsize: float = 512.0, n_mask_views: int = 8,
+                contour_points: int = 512):
+    """Synthetic GeneBody/RenderPeople-like scene: SMPL-X model, ring
+    cameras, keypoints projected from a ground-truth body (conf 1),
+    zero-init fit params.
+
+    ``fit_config``: 'kp' (keypoint+GMM only), 'mask' (adds GT-silhouette
+    masks on a view subset, BASELINE config 3), 'mesh'/'smpld' (adds a
+    perturbed-subdivision scan of the GT surface with the RenderPeople
+    scale prior ``scan_height / 1.7``, configs 4; 'smpld' also runs the
+    displacement stage).  Returns ``(model, w2cs, Ks, keypoints,
+    constant_scale, extras)`` where ``extras`` carries the mask/scan data
+    both engines consume identically.
+    """
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -50,6 +86,13 @@ def make_inputs(num_verts: int, n_views: int, seed: int = 0,
     model = bm.synthetic_model(
         "smplx", num_verts=num_verts, seed=seed, use_face_contour=True,
         dtype=dt,
+        # Displacement fitting differentiates unit normals + Laplacian
+        # smoothness over the body mesh: a random triangulation's sliver
+        # faces make that map violently chaotic (normals of near-collinear
+        # triangles spin under 1-ulp perturbations), which is a mesh-
+        # quality artifact, not a property of SMPL fitting.  Surface
+        # configs use the structured sphere mesh.
+        mesh="sphere" if fit_config in ("mesh", "smpld") else "random",
     )
     rng = np.random.default_rng(seed + 1)
 
@@ -70,14 +113,51 @@ def make_inputs(num_verts: int, n_views: int, seed: int = 0,
             rng.normal(scale=0.3, size=(model.num_hand_pca,)), dt),
     )
     gt_out = bm.forward(model, gt)
-    constant_scale = 0.3
-    gt_joints = np.asarray(gt_out.joints) * constant_scale   # GT world space
+    extras = {}
 
-    # GeneBody-like camera ring at radius 3, 512^2 images.
+    if fit_config in ("mesh", "smpld"):
+        # RenderPeople-style scan: the GT surface subdivided once (4x the
+        # faces, generic closest-point structure) and perturbed by a
+        # smooth low-frequency normal-direction field so scan vertices
+        # never coincide with body vertices (closest points land in face
+        # interiors -> no cross-engine nearest-face tie flips).  World
+        # scale S=2.0; the reference's scale prior is then
+        # constant_scale = scan_height / 1.7 (smplify.py:150-156).
+        S = 2.0
+        sv = np.asarray(gt_out.vertices, np.float64)
+        sf = np.asarray(model.faces, np.int32)
+        sv, sf = _subdivide(sv, sf)
+        tris = sv[sf]
+        fn = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        vn = np.zeros_like(sv)
+        for k in range(3):
+            np.add.at(vn, sf[:, k], fn)
+        vn /= np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+        height = sv[:, 1].max() - sv[:, 1].min()
+        wobble = 0.004 * height * np.sin(
+            7.3 * sv[:, 0] / height + 11.1 * sv[:, 1] / height
+            + 5.7 * sv[:, 2] / height
+        )
+        sv = (sv + wobble[:, None] * vn) * S
+        scan_height = float(sv[:, 1].max() - sv[:, 1].min())
+        constant_scale = scan_height / 1.7
+        extras["scan"] = {"verts": sv, "faces": sf}
+        extras["scan_height"] = scan_height
+        # GT world joints consistent with the scan's world scale.
+        gt_joints = np.asarray(gt_out.joints, np.float64) * S
+    else:
+        constant_scale = 0.3
+        gt_joints = np.asarray(gt_out.joints, np.float64) * constant_scale
+
+    # GeneBody-like camera ring, radius scaled to frame the body.
+    radius = 3.0 * (constant_scale / 0.3 if fit_config in ("mesh", "smpld")
+                    else 1.0)
     w2cs = np.asarray(ring_cameras(
-        n_views, jnp.asarray(gt_joints.mean(0)), radius=3.0
-    ))
-    K = np.array([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]], np.float32)
+        n_views, jnp.asarray(gt_joints.mean(0)), radius=radius
+    ), np.float64)
+    cx = imsize / 2.0
+    f = 500.0 * (imsize / 512.0)
+    K = np.array([[f, 0, cx], [0, f, cx], [0, 0, 1]], np.float64)
     Ks = np.broadcast_to(K, (n_views, 3, 3)).copy()
 
     proj = np.asarray(perspective_projection(
@@ -88,25 +168,90 @@ def make_inputs(num_verts: int, n_views: int, seed: int = 0,
     keypoints = np.concatenate(
         [proj, np.ones(proj.shape[:-1] + (1,), proj.dtype)], axis=-1
     )
-    return model, w2cs, Ks, keypoints, constant_scale
+
+    if fit_config == "mask":
+        # GT-silhouette masks on a view subset (GeneBody's 8 GT-mask views
+        # of 48, apps/genebody_fitting.py:87), rendered with the engine's
+        # own rasterizer on host, then shared verbatim by both engines.
+        from bodyfitting_tpu.losses.silhouette import (
+            extract_contours, resample_contours,
+        )
+        from bodyfitting_tpu.ops import rasterize as rz
+
+        vm_idx = np.linspace(
+            0, n_views, num=min(n_mask_views, n_views), endpoint=False
+        ).astype(int)
+        gt_world = jnp.asarray(
+            np.asarray(gt_out.vertices, np.float64) * constant_scale
+        )
+        masks = []
+        for vi in vm_idx:
+            fpx, fz = rz.project_faces(
+                gt_world, model.faces, jnp.asarray(w2cs[vi]),
+                jnp.asarray(Ks[vi]),
+            )
+            raster = rz.rasterize(fpx, fz, image_size=int(imsize))
+            masks.append(np.asarray(rz.render_silhouette(raster)))
+        masks = np.stack(masks).astype(np.float64)
+        contours, valid = extract_contours(list(masks))
+        contours, weights = resample_contours(
+            contours, valid, num_points=contour_points
+        )
+        extras["mask"] = {
+            "contours": contours.astype(np.float64),
+            "contour_valid": weights.astype(np.float64),
+            "masks": masks,
+            "w2cs": w2cs[vm_idx],
+            "Ks": Ks[vm_idx],
+        }
+
+    return model, w2cs, Ks, keypoints, constant_scale, extras
 
 
 def run_jax_fit(model, w2cs, Ks, keypoints, constant_scale, num_iters,
-                gmm_prior):
+                gmm_prior, extras=None, fit_config="kp", imsize=512.0):
     import jax
     import jax.numpy as jnp
 
     from bodyfitting_tpu.fitting import smplify
 
+    extras = extras or {}
     dt = model.v_template.dtype
+    obs_kw = {}
+    cfg_kw = {}
+    if fit_config == "mask":
+        m = extras["mask"]
+        obs_kw.update(
+            masks=jnp.asarray(m["masks"], dt),
+            mask_w2cs=jnp.asarray(m["w2cs"], dt),
+            mask_Ks=jnp.asarray(m["Ks"], dt),
+            contours=jnp.asarray(m["contours"], dt),
+            contour_valid=jnp.asarray(m["contour_valid"], dt),
+        )
+        cfg_kw.update(use_mask=True)
+    if fit_config in ("mesh", "smpld"):
+        s = extras["scan"]
+        obs_kw.update(
+            scan_verts=jnp.asarray(s["verts"], dt),
+            scan_faces=jnp.asarray(s["faces"], jnp.int32),
+            scan_height=jnp.asarray(extras["scan_height"], dt),
+        )
+        # 'exact' re-runs the dense nearest sweep per iteration like the
+        # reference; the SDF path's accuracy is benched separately
+        # (bench_sdf_equivalence.py), parity must use the exact route.
+        cfg_kw.update(
+            use_mesh=True, mesh_loss_impl="exact",
+            displacement=(fit_config == "smpld"),
+        )
     obs = smplify.Observations(
         w2cs=jnp.asarray(w2cs, dt),
         Ks=jnp.asarray(Ks, dt),
         keypoints=jnp.asarray(keypoints, dt),
         view_mask=jnp.ones((w2cs.shape[0],), dt),
         constant_scale=jnp.asarray(constant_scale, dt),
+        **obs_kw,
     )
-    config = smplify.FitConfig(num_iters=num_iters, imsize=512.0)
+    config = smplify.FitConfig(num_iters=num_iters, imsize=imsize, **cfg_kw)
     init = smplify.FitParams.init(model)
     init = jax.tree.map(lambda x: x.astype(dt), init)
     fitted, result, losses = jax.jit(
@@ -119,12 +264,13 @@ def run_jax_fit(model, w2cs, Ks, keypoints, constant_scale, num_iters,
 
 
 def run_torch_fit(model, w2cs, Ks, keypoints, constant_scale, num_iters,
-                  gmm_prior):
+                  gmm_prior, extras=None, fit_config="kp", imsize=512.0):
     import numpy as _np
     import torch
 
     from bodyfitting_tpu.fitting import torch_reference as tr
 
+    extras = extras or {}
     tdt = (torch.float64 if _np.dtype(_np.asarray(model.v_template).dtype)
            == _np.dtype(_np.float64) else torch.float32)
     md = tr.torch_model_from_jax(model, dtype=tdt)
@@ -137,15 +283,72 @@ def run_torch_fit(model, w2cs, Ks, keypoints, constant_scale, num_iters,
         md, w2cs, Ks, keypoints, gmm_arrays,
         constant_scale=constant_scale, num_iters=num_iters,
         num_betas=model.num_betas, num_expressions=model.num_expressions,
-        dtype=tdt,
+        dtype=tdt, imsize=imsize,
+        use_mask=(fit_config == "mask"),
+        mask_data=extras.get("mask"),
+        use_mesh=(fit_config in ("mesh", "smpld")),
+        scan=extras.get("scan"),
+        displacement=(fit_config == "smpld"),
     )
 
 
+def disp_step_parity(model, extras, constant_scale, bv, disp):
+    """Evaluate both engines' stage-2 loss + gradient at one shared
+    ``(body_vertices, displacement)`` state.
+
+    Returns ``(loss_rel_diff, grad_max_abs_diff)``.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from bodyfitting_tpu.fitting import smplify, torch_reference as tr
+
+    sv, sf = extras["scan"]["verts"], extras["scan"]["faces"]
+    obs = smplify.Observations(
+        w2cs=jnp.zeros((1, 4, 4)), Ks=jnp.zeros((1, 3, 3)),
+        keypoints=jnp.zeros((1, 1, 3)), view_mask=jnp.ones((1,)),
+        constant_scale=jnp.asarray(constant_scale),
+        scan_verts=jnp.asarray(sv), scan_faces=jnp.asarray(sf, jnp.int32),
+        scan_height=jnp.asarray(extras["scan_height"]),
+    )
+    config = smplify.FitConfig(use_mesh=True, mesh_loss_impl="exact")
+    loss_fn, _, _ = smplify.displacement_problem(
+        model, config, obs, jnp.asarray(bv)
+    )
+    lj, gj = jax.value_and_grad(loss_fn)(jnp.asarray(disp))
+
+    md = tr.torch_model_from_jax(
+        model, dtype=torch.float64 if bv.dtype == np.float64
+        else torch.float32,
+    )
+    svt = torch.tensor(np.asarray(sv))
+    sft = torch.tensor(np.asarray(sf)).long()
+    bvt = torch.tensor(np.asarray(bv))
+    dt_ = torch.tensor(np.asarray(disp), requires_grad=True)
+    deformed = bvt + dt_
+    dn = tr.compute_vertex_normals(deformed, md.faces)
+    closest, fidx = tr.nearest_points_on_mesh(deformed.detach(), svt, sft)
+    lt = tr.point_cloud_loss(deformed, closest) + (
+        tr.normal_loss(dn, tr.compute_face_normals(svt, sft), fidx)
+        + tr.normal_laplacian_smoothness(dn, md.faces)
+    ) * float(constant_scale) * 0.1
+    lt.backward()
+    loss_rel = abs(float(lj) - float(lt.detach())) / max(
+        abs(float(lt.detach())), 1e-12
+    )
+    grad_max = float(np.abs(np.asarray(gj) - dt_.grad.numpy()).max())
+    return loss_rel, grad_max
+
+
 def run_parity(num_verts=10475, n_views=48, num_iters=600, seed=0,
-               dtype_str="f32"):
+               dtype_str="f32", fit_config="kp", imsize=512.0,
+               n_mask_views=8, contour_points=512):
     """Run both engines on identical inputs; return the comparison report."""
-    model, w2cs, Ks, keypoints, cscale = make_inputs(
-        num_verts, n_views, seed, dtype_str
+    model, w2cs, Ks, keypoints, cscale, extras = make_inputs(
+        num_verts, n_views, seed, dtype_str, fit_config=fit_config,
+        imsize=imsize, n_mask_views=n_mask_views,
+        contour_points=contour_points,
     )
     import jax.numpy as jnp
 
@@ -157,12 +360,13 @@ def run_parity(num_verts=10475, n_views=48, num_iters=600, seed=0,
 
     t0 = time.perf_counter()
     torch_res = run_torch_fit(model, w2cs, Ks, keypoints, cscale, num_iters,
-                              gmm)
+                              gmm, extras, fit_config, imsize)
     t_torch = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     jax_res, jax_losses = run_jax_fit(model, w2cs, Ks, keypoints, cscale,
-                                      num_iters, gmm)
+                                      num_iters, gmm, extras, fit_config,
+                                      imsize)
     t_jax = time.perf_counter() - t0
 
     # --- vertex deviation ---------------------------------------------------
@@ -180,6 +384,7 @@ def run_parity(num_verts=10475, n_views=48, num_iters=600, seed=0,
 
     report = {
         "dtype": dtype_str,
+        "config": fit_config,
         "num_verts": num_verts,
         "n_views": n_views,
         "num_iters": num_iters,
@@ -200,6 +405,64 @@ def run_parity(num_verts=10475, n_views=48, num_iters=600, seed=0,
         "torch_wall_s": t_torch,
         "jax_cpu_wall_s": t_jax,
     }
+    if fit_config == "smpld":
+        # Trajectory-level displacement comparison is chaotic by the
+        # problem's nature: the per-iteration nearest-face assignment is a
+        # discrete switch, so two exact engines 1 ulp apart cross switch
+        # boundaries at different steps and the fields diverge (the
+        # reference itself is not run-to-run reproducible here — its CUDA
+        # grid build claims triangle slots with atomicCAS,
+        # mesh_grid_kernel.cu:148-151, so its own tie order varies).  The
+        # meaningful stage-2 metrics are outcome-level: both engines'
+        # deformed surfaces land on the scan with the same residual, and
+        # each engine's deformed vertices lie ON the other's deformed
+        # surface (point-to-surface, since per-vertex ICP slides
+        # tangentially).
+        import torch as _t
+
+        from bodyfitting_tpu.fitting import torch_reference as _tr
+
+        dd = np.linalg.norm(
+            np.asarray(jax_res["displacement"]) - torch_res["displacement"],
+            axis=-1,
+        )
+        report["mean_disp_dev_mm"] = float(dd.mean()) / scale_out * 1000.0
+        tdl = torch_res["disp_loss_trace"]
+        jdl = np.asarray(jax_losses[len(tl):len(tl) + len(tdl)])
+        drel = np.abs(jdl - tdl) / np.maximum(np.abs(tdl), 1e-12)
+        report["disp_loss_rel_diff_max"] = float(drel.max())
+
+        def to_surface(pts, surf_verts, surf_faces):
+            c, _ = _tr.nearest_points_on_mesh(
+                _t.tensor(np.asarray(pts)), _t.tensor(np.asarray(surf_verts)),
+                _t.tensor(np.asarray(surf_faces)).long(),
+            )
+            return np.linalg.norm(np.asarray(pts) - c.numpy(), axis=-1)
+
+        # Step-level parity at a SHARED nontrivial state: both engines
+        # evaluate the stage-2 objective and its gradient at the same
+        # (body_vertices, displacement) — this is the well-defined part
+        # of stage-2 equivalence (the trajectory is chaotic, see below).
+        step_l, step_g = disp_step_parity(
+            model, extras, cscale,
+            np.asarray(jax_res["vertices"]), torch_res["displacement"],
+        )
+        report["disp_step_loss_rel"] = step_l
+        report["disp_step_grad_max_abs"] = step_g
+
+        deformed_j = np.asarray(jax_res["vertices"]) \
+            + np.asarray(jax_res["displacement"])
+        deformed_t = torch_res["vertices"] + torch_res["displacement"]
+        sv, sf = extras["scan"]["verts"], extras["scan"]["faces"]
+        mf = np.asarray(model.faces)
+        mm = 1000.0 / scale_out
+        report["scan_residual_jax_mm"] = float(
+            to_surface(deformed_j, sv, sf).mean()) * mm
+        report["scan_residual_torch_mm"] = float(
+            to_surface(deformed_t, sv, sf).mean()) * mm
+        report["cross_surface_dev_mm"] = float(
+            0.5 * (to_surface(deformed_j, deformed_t, mf).mean()
+                   + to_surface(deformed_t, deformed_j, mf).mean())) * mm
     return report
 
 
@@ -268,13 +531,127 @@ def write_parity_md(reports):
         f.write(text)
 
 
+def write_parity_staged_md(report):
+    """Append/refresh the staged-config row table in PARITY.md.
+
+    Reports accumulate in ``parity_staged.json`` (one per config) so the
+    table survives re-runs of individual configs.
+    """
+    store = os.path.join(os.path.dirname(__file__), "parity_staged.json")
+    rows = {}
+    if os.path.exists(store):
+        with open(store) as f:
+            rows = json.load(f)
+    rows[report["config"]] = report
+    with open(store, "w") as f:
+        json.dump(rows, f, indent=1)
+
+    marker = "## Measured staged-config fit parity"
+    order = [c for c in ("mask", "mesh", "smpld") if c in rows]
+    lines = [
+        marker,
+        "",
+        "Same harness as above, staged configurations (BASELINE configs "
+        "3/4): the torch re-enactment adds the reference's mask loss "
+        "(cv2-contour ICP + grid_sample stay-inside, loss.py:85-130, via "
+        "torch's own cdist/grid_sample), the exact point-cloud term "
+        "(loss.py:233-242, candidate-enumeration nearest-on-mesh) and the "
+        "SMPL+D displacement stage (smplify.py:228-247).  The JAX engine "
+        "runs `mesh_loss_impl='exact'` (the SDF path's accuracy is benched "
+        "separately in BENCH_NOTES.md).  Inputs (GT-silhouette masks, "
+        "shared resampled contours, perturbed-subdivision scan) are "
+        "identical arrays for both engines; f64.",
+        "",
+        "| quantity |" + "".join(f" {rows[c]['config']} |" for c in order),
+        "|---|" + "---|" * len(order),
+        "| workload |" + "".join(
+            f" {rows[c]['num_verts']}v, {rows[c]['n_views']} views, "
+            f"{rows[c]['num_iters']} iters |" for c in order),
+        "| mean vertex deviation (mm, model units) |" + "".join(
+            f" **{rows[c]['mean_vertex_dev_mm']:.2e}** |" for c in order),
+        "| max vertex deviation (mm) |" + "".join(
+            f" {rows[c]['max_vertex_dev_mm']:.2e} |" for c in order),
+        "| final loss (torch / jax) |" + "".join(
+            f" {rows[c]['final_loss_torch']:.2f} / "
+            f"{rows[c]['final_loss_jax']:.2f} |" for c in order),
+        "| loss-trajectory rel diff (median / max) |" + "".join(
+            f" {rows[c]['loss_rel_diff_median']:.1e} / "
+            f"{rows[c]['loss_rel_diff_max']:.1e} |" for c in order),
+        "| disp stage: shared-state loss rel / grad max-abs diff |"
+        + "".join(
+            (f" {rows[c]['disp_step_loss_rel']:.1e} / "
+             f"{rows[c]['disp_step_grad_max_abs']:.1e} |")
+            if "disp_step_loss_rel" in rows[c] else " n/a |"
+            for c in order),
+        "| disp stage: scan residual jax / torch (mm) |" + "".join(
+            (f" {rows[c]['scan_residual_jax_mm']:.3f} / "
+             f"{rows[c]['scan_residual_torch_mm']:.3f} |")
+            if "scan_residual_jax_mm" in rows[c] else " n/a |"
+            for c in order),
+        "| disp stage: cross-engine surface deviation (mm) |" + "".join(
+            f" **{rows[c]['cross_surface_dev_mm']:.3f}** |"
+            if "cross_surface_dev_mm" in rows[c] else " n/a |"
+            for c in order),
+        "| disp stage: field deviation mean (mm; chaotic, see below) |"
+        + "".join(
+            f" {rows[c]['mean_disp_dev_mm']:.2f} |"
+            if "mean_disp_dev_mm" in rows[c] else " n/a |"
+            for c in order),
+        "| torch / JAX-CPU wall (s) |" + "".join(
+            f" {rows[c]['torch_wall_s']:.0f} / "
+            f"{rows[c]['jax_cpu_wall_s']:.0f} |" for c in order),
+        "",
+        "With these rows every loss the reference ships — keypoint+GMM, "
+        "silhouette ICP + stay-inside, point-cloud, and the SMPL+D stage "
+        "losses — is covered by a cross-engine f64 comparison.",
+        "",
+        "**Displacement-stage metrics are outcome-level by necessity.** "
+        "The per-iteration nearest-face assignment is a discrete switch, "
+        "so the stage-2 descent is chaotic: two exact engines whose states "
+        "differ by 1 ulp cross switch boundaries at different iterations "
+        "and their displacement *fields* diverge tangentially (per-vertex "
+        "ICP slides along the surface).  The reference has the same "
+        "property against itself — its CUDA grid build orders per-cell "
+        "triangles with `atomicCAS` slot-claiming "
+        "(/root/reference/thirdparty/mesh_grid/mesh_grid_kernel.cu:148-151), "
+        "so its own nearest-face tie-breaking varies run to run.  What is "
+        "well-defined and measured above: (a) the body-stage trajectory "
+        "and converged vertices lock (rows 2-5); (b) at any shared state "
+        "the two engines' stage-2 objective and gradient agree to "
+        "~1e-11 (tests/test_parity.py::test_displacement_step_parity); "
+        "(c) both engines' final deformed surfaces land on the scan with "
+        "equal residuals and lie on each other to sub-mm point-to-surface "
+        "distance.",
+        "",
+    ]
+    path = os.path.join(os.path.dirname(__file__), "PARITY.md")
+    with open(path) as f:
+        text = f.read()
+    if marker in text:
+        head, rest = text.split(marker, 1)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1:] if nxt != -1 else ""
+        text = head.rstrip() + ("\n\n" + tail if tail else "\n\n")
+    text = text.rstrip() + "\n\n" + "\n".join(lines)
+    with open(path, "w") as f:
+        f.write(text)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small model / fewer iters (smoke run)")
+    ap.add_argument("--config", choices=["kp", "mask", "mesh", "smpld"],
+                    default="kp",
+                    help="kp: keypoint+GMM (BASELINE configs 1/2); mask: "
+                         "+silhouette (config 3); mesh: +point-cloud; "
+                         "smpld: +displacement stage (config 4)")
     ap.add_argument("--num_verts", type=int, default=None)
     ap.add_argument("--n_views", type=int, default=None)
     ap.add_argument("--num_iters", type=int, default=None)
+    ap.add_argument("--imsize", type=float, default=None)
+    ap.add_argument("--n_mask_views", type=int, default=None)
+    ap.add_argument("--contour_points", type=int, default=None)
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f64",
                     help="f64 isolates engine parity from float-trajectory "
                          "sensitivity (the descent is chaotic in f32)")
@@ -283,17 +660,34 @@ def main():
                          "helper mode)")
     args = ap.parse_args()
 
+    cfg = args.config
     if args.quick:
-        nv, vw, it = 1024, 4, 150
+        if cfg in ("mesh", "smpld"):
+            nv, vw, it, ims, nmv, cp = 512, 4, 150, 512.0, 0, 128
+        elif cfg == "mask":
+            nv, vw, it, ims, nmv, cp = 1024, 4, 150, 256.0, 2, 128
+        else:
+            nv, vw, it, ims, nmv, cp = 1024, 4, 150, 512.0, 0, 128
     else:
-        nv, vw, it = 10475, 48, 600
+        if cfg in ("mesh", "smpld"):
+            # torch's exact per-iteration nearest sweep is O(V * 4F) on one
+            # CPU core: full SMPL-X scale is hours-per-run there, so the
+            # published row uses a mid scale (still ~33M point-face pairs
+            # per iteration, the same math at every scale)
+            nv, vw, it, ims, nmv, cp = 2048, 8, 600, 512.0, 0, 512
+        else:
+            nv, vw, it, ims, nmv, cp = 10475, 48, 600, 512.0, 8, 512
     nv = args.num_verts or nv
     vw = args.n_views or vw
     it = args.num_iters or it
+    ims = args.imsize or ims
+    nmv = args.n_mask_views if args.n_mask_views is not None else nmv
+    cp = args.contour_points or cp
 
-    reports = [run_parity(nv, vw, it, dtype_str=args.dtype)]
+    reports = [run_parity(nv, vw, it, dtype_str=args.dtype, fit_config=cfg,
+                          imsize=ims, n_mask_views=nmv, contour_points=cp)]
     print(json.dumps(reports[0], indent=2), file=sys.stderr)
-    if not args.quick and args.dtype == "f64":
+    if not args.quick and args.dtype == "f64" and cfg == "kp":
         # Companion float32 row (the problem's trajectory sensitivity) in a
         # subprocess: jax_enable_x64 cannot be cleanly undone in-process.
         import subprocess
@@ -310,7 +704,10 @@ def main():
         print(json.dumps(reports[0]))
         return 0
     if not args.quick and args.dtype == "f64":
-        write_parity_md(reports)
+        if cfg == "kp":
+            write_parity_md(reports)
+        else:
+            write_parity_staged_md(reports[0])
     elif not args.quick:
         # f32 full runs measure trajectory chaos, not engine parity
         # (CLAUDE.md: parity claims must be established in float64) —
@@ -320,8 +717,11 @@ def main():
         return 0
     report = reports[0]
     ok = report["mean_vertex_dev_mm"] <= 1.0
+    if "mean_disp_dev_mm" in report:
+        ok = ok and report["mean_disp_dev_mm"] <= 1.0
     print(json.dumps({
         "parity_mean_vertex_dev_mm": report["mean_vertex_dev_mm"],
+        "config": cfg,
         "dtype": report["dtype"],
         "north_star_1mm": "met" if ok else "NOT met",
     }))
