@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bodyfitting_tpu.fitting import smplify
 from bodyfitting_tpu.losses.priors import synthetic_gmm_prior
@@ -54,3 +55,39 @@ def test_fit_sequence_sharded_matches_local(rng):
     # outputs land sharded over the frames axis
     sharding = res_sharded["vertices"].sharding
     assert len(sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_sharded_full_fit_production_shape(rng):
+    """60-iteration staged full fit (keypoints -> gate -> +mask +mesh) at
+    SMPL-X size, sharded over the 8-device mesh, matches the identical
+    single-device run: trajectory through the stage gate and converged
+    vertices (round-2 verdict item 6)."""
+    from bodyfitting_tpu.parallel.checks import make_production_fit_problem
+
+    model, config, obs, init, prior = make_production_fit_problem(rng)
+
+    mesh = sh.make_mesh(4, 2)
+    _, res_sharded, losses_sharded = sh.fit_sequence_sharded(
+        model, config, obs, init, prior, mesh=mesh
+    )
+    losses_sharded = np.asarray(losses_sharded)
+
+    fit_local = jax.jit(jax.vmap(
+        lambda o, i: smplify.fit(model, config, o, i, prior)
+    ))
+    _, res_local, losses_local = fit_local(obs, init)
+    losses_local = np.asarray(losses_local)
+
+    gate = config.num_iters // config.stage_gate_den
+    assert losses_sharded.shape == (8, config.num_iters)
+    # the staged branch actually fires: losses jump when mask+mesh join
+    assert (losses_local[:, gate + 1] > 1.5 * losses_local[:, gate]).all()
+    np.testing.assert_allclose(
+        losses_sharded, losses_local, rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sharded["vertices"]),
+        np.asarray(res_local["vertices"]), atol=1e-4,
+    )
+    assert len(res_sharded["vertices"].sharding.device_set) == 8
