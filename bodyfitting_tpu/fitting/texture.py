@@ -307,12 +307,14 @@ def fit_texture(
             # scene arrays are jit arguments, not closures (a closed-over
             # production scan would embed tens of MB of constants — the
             # remote-compile tunnel rejects huge programs, CLAUDE.md)
+            from bodyfitting_tpu.ops.pallas_kernels import auto_rasterize
+
             scan_img, _ = render_textured(
                 scan_v, scan_f, scan_uv, scan_t, w2c, K,
                 config.render_img_size, config.face_block,
             )
             px, fz = rz.project_faces(smpl_v, smpl_f, w2c, K)
-            raster = rz.rasterize(
+            raster = auto_rasterize(
                 px, fz, config.render_img_size,
                 face_block=config.face_block,
             )
@@ -330,18 +332,26 @@ def fit_texture(
         ]
 
         if config.bucketed_uv:
-            # One-hot MXU sampling plans: pixel->texel taps bucketed on the
-            # host once, each Adam step is two dense matmuls per work item
-            # (ops/uv_sample.py; same loss value as the gather path below)
-            plans = [
-                uvs.build_uv_sample_plan(
-                    np.asarray(m[1]), np.asarray(m[2]), np.asarray(m[0]),
-                    S, background=1.0, chunk=config.uv_chunk,
+            # One-hot MXU sampling plans, built ON DEVICE in one vmapped
+            # call over all unique poses
+            # (ops/uv_sample.build_uv_sample_plan_device — the round-2
+            # HOST builder cost tens of seconds of 1-CPU numpy across
+            # ~110 unique poses and sank this path, BENCH_NOTES.md).
+            # Each Adam step is then two dense matmuls per work item with
+            # the same loss value as the gather path.
+            scan_imgs, uv_maps, fgs = (
+                jnp.stack([m[k] for m in per_pose]) for k in range(3)
+            )
+            build = jax.jit(jax.vmap(
+                lambda um, fg, si: uvs.build_uv_sample_plan_device(
+                    um, fg, si, S, background=1.0,
+                    chunk=config.uv_chunk,
                     window_rows=config.uv_window_rows,
                 )
-                for m in per_pose
-            ]
-            stacked = uvs.stack_plans(plans)
+            ))
+            stacked = build(uv_maps, fgs, scan_imgs)
+            # drop the static item-cap padding (one small host sync)
+            stacked = uvs.trim_plan(stacked, uvs.used_items(stacked))
 
             def plan_loss(t, idx, stacked_):
                 return uvs.plan_l1_loss(t, uvs.index_plan(stacked_, idx))

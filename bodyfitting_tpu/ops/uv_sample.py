@@ -205,6 +205,168 @@ def build_uv_sample_plan(
     )
 
 
+def plan_item_cap(n_pixels: int, tex_size: int, chunk: int,
+                  window_rows: int) -> int:
+    """Static bound on the greedy packer's item count: a new item starts
+    only when the previous is full (<= ceil(N/chunk) times) or its row
+    window is exhausted (<= ceil(S/R) times)."""
+    return -(-n_pixels // chunk) + -(-tex_size // window_rows)
+
+
+def build_uv_sample_plan_device(
+    uv_map: jax.Array,
+    fg: jax.Array,
+    target: jax.Array,
+    tex_size: int,
+    background: float = 1.0,
+    chunk: int = 2048,
+    window_rows: int = 8,
+) -> UVSamplePlan:
+    """Device-side :func:`build_uv_sample_plan` — identical plan semantics
+    (same tap math, same stable y0-sort, same greedy packing decisions),
+    built entirely with jittable static-shape ops.
+
+    The host builder's per-pose numpy work (sort + per-item copies of
+    262k-pixel arrays) measured tens of seconds across the reference
+    schedule's ~110 unique poses on a 1-CPU host — that cost sank the
+    bucketed texture-fit path in round 2 (BENCH_NOTES.md).  Here the sort
+    is one device ``argsort``, the packing is a ``lax.scan`` over the
+    (statically-bounded) item count doing binary searches, and the
+    per-item slot fill is one gather — microseconds-scale per pose on
+    TPU.
+
+    Returns a plan with the STATIC item count :func:`plan_item_cap`
+    (padded items carry ``valid == 0``); use :func:`used_items` +
+    ``trim_plan`` after stacking poses to drop the all-empty tail.
+    """
+    S, R, K = int(tex_size), int(window_rows), int(chunk)
+    if R < 1 or R > 127 or S <= R:
+        raise ValueError(
+            f"window_rows={R} must be in [1, min(127, tex_size={S} - 1)]"
+        )
+    if S > 32767:
+        raise ValueError(f"tex_size={S} exceeds the int16 tap columns")
+    H, W = fg.shape
+    N = H * W
+    C = target.shape[-1]
+    I = plan_item_cap(N, S, K, R)
+
+    fg_flat = fg.reshape(-1)
+    tgt_flat = target.reshape(-1, C).astype(jnp.float32)
+    const = jnp.sum(
+        jnp.where(
+            fg_flat[:, None], 0.0,
+            jnp.abs(tgt_flat - jnp.float32(background)),
+        )
+    )
+
+    # Tap math — bit-identical to the host builder / gather path (f32).
+    flat = uv_map.reshape(-1, 2).astype(jnp.float32)
+    s1 = jnp.float32(S - 1)
+    x = flat[:, 0] * s1
+    y = (jnp.float32(1.0) - flat[:, 1]) * s1
+    x0 = jnp.clip(jnp.floor(x), 0, S - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, S - 1)
+    x1 = jnp.clip(x0 + jnp.float32(1.0), 0, S - 1)
+    y1 = jnp.clip(y0 + jnp.float32(1.0), 0, S - 1)
+    wx = jnp.clip(x - x0, 0.0, 1.0)
+    wy = jnp.clip(y - y0, 0.0, 1.0)
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+
+    # Stable sort by y0 with background pixels keyed past every real row:
+    # equivalent to the host's fg-masked stable argsort.
+    BIG = jnp.int32(S + R + 2)
+    key = jnp.where(fg_flat, y0i, BIG)
+    order = jnp.argsort(key, stable=True)
+    y0s = jnp.concatenate([key[order], jnp.full((1,), BIG, jnp.int32)])
+
+    # Row-cut table: cum[r] = #fg pixels with y0 < r.  The packer's
+    # binary searches become O(1) lookups (a searchsorted over the 262k
+    # sorted keys per scan step measured ~10s across a vmapped batch).
+    counts = jnp.zeros(S, jnp.int32).at[
+        jnp.where(fg_flat, y0i, 0)
+    ].add(fg_flat.astype(jnp.int32))
+    cum = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)]
+    )                                                  # [S + 1]
+
+    # Greedy packing: the host builder's while loop as a bounded scan.
+    # cut(left)  = #keys <  row+R = cum[row+R]     (searchsorted left)
+    # cut(right) = #keys <= row+R = cum[row+R+1]   (searchsorted right)
+    def pack(p, _):
+        row = jnp.minimum(y0s[p], jnp.int32(S - 1 - R))
+        cut_l = cum[jnp.minimum(row + R, S)]
+        cut_r = cum[jnp.minimum(row + R + 1, S)]
+        cut = jnp.where(cut_l <= p, cut_r, cut_l).astype(jnp.int32)
+        end = jnp.maximum(jnp.minimum(p + K, cut), p)
+        return end, (p, end, row)
+
+    _, (starts, ends, rows_out) = jax.lax.scan(
+        pack, jnp.int32(0), None, length=I
+    )
+
+    # Slot fill: one [I, K] gather per tap array.
+    slot = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    slot_valid = slot < ends[:, None]
+    src = jnp.where(slot_valid, order[jnp.minimum(slot, N - 1)], 0)
+
+    def take(a):
+        return a[src]
+
+    dy = jnp.where(slot_valid, take(y0i) - rows_out[:, None], 0)
+    dy1 = jnp.where(slot_valid, take(y1i) - rows_out[:, None], 0)
+    vmaskf = slot_valid.astype(jnp.float32)
+    return UVSamplePlan(
+        row_start=rows_out,
+        x0=jnp.where(slot_valid, take(x0i), 0).astype(jnp.int16),
+        x1=jnp.where(slot_valid, take(x1i), 0).astype(jnp.int16),
+        wx=take(wx) * vmaskf,
+        dy=dy.astype(jnp.int8),
+        dy1=dy1.astype(jnp.int8),
+        wy=take(wy) * vmaskf,
+        valid=vmaskf,
+        target=take(tgt_flat) * vmaskf[..., None],
+        const_loss=const,
+        window_rows=R,
+    )
+
+
+def used_items(plan: UVSamplePlan) -> int:
+    """Number of leading items that carry any real pixel (host sync)."""
+    any_valid = np.asarray(jnp.any(plan.valid > 0, axis=-1))
+    if any_valid.ndim == 2:          # stacked [U, I]
+        any_valid = any_valid.any(axis=0)
+    nz = np.nonzero(any_valid)[0]
+    return int(nz[-1]) + 1 if nz.size else 1
+
+
+def trim_plan(plan: UVSamplePlan, n_items: int) -> UVSamplePlan:
+    """Drop the all-empty item tail.
+
+    Leaves: row_start [.., I]; x0/x1/wx/dy/dy1/wy/valid [.., I, K];
+    target [.., I, K, C]; const_loss scalar — trim the I axis of each.
+    """
+    def trim_leaf(name, leaf):
+        if name == "const_loss":
+            return leaf
+        i_axis = {"row_start": leaf.ndim - 1, "target": leaf.ndim - 3}.get(
+            name, leaf.ndim - 2
+        )
+        sl = [slice(None)] * leaf.ndim
+        sl[i_axis] = slice(0, n_items)
+        return leaf[tuple(sl)]
+
+    return UVSamplePlan(
+        **{
+            f.name: trim_leaf(f.name, getattr(plan, f.name))
+            for f in dataclasses.fields(plan)
+            if f.name != "window_rows"
+        },
+        window_rows=plan.window_rows,
+    )
+
+
 def stack_plans(plans: Sequence[UVSamplePlan]) -> UVSamplePlan:
     """Stack per-pose plans along a leading axis, padding item counts.
 

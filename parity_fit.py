@@ -264,7 +264,8 @@ def run_jax_fit(model, w2cs, Ks, keypoints, constant_scale, num_iters,
 
 
 def run_torch_fit(model, w2cs, Ks, keypoints, constant_scale, num_iters,
-                  gmm_prior, extras=None, fit_config="kp", imsize=512.0):
+                  gmm_prior, extras=None, fit_config="kp", imsize=512.0,
+                  init_perturb=0.0):
     import numpy as _np
     import torch
 
@@ -279,17 +280,98 @@ def run_torch_fit(model, w2cs, Ks, keypoints, constant_scale, num_iters,
         np.asarray(gmm_prior.precisions),
         np.asarray(gmm_prior.log_nll_weights),
     )
+    nb_pose = 69 if model.model_type == "smpl" else 63
+    init_pose = (np.full(nb_pose, init_perturb)
+                 if init_perturb else None)
     return tr.smplify_fit(
         md, w2cs, Ks, keypoints, gmm_arrays,
         constant_scale=constant_scale, num_iters=num_iters,
         num_betas=model.num_betas, num_expressions=model.num_expressions,
         dtype=tdt, imsize=imsize,
+        init_body_pose=init_pose,
         use_mask=(fit_config == "mask"),
         mask_data=extras.get("mask"),
         use_mesh=(fit_config in ("mesh", "smpld")),
         scan=extras.get("scan"),
         displacement=(fit_config == "smpld"),
     )
+
+
+def mask_step_parity(extras, verts, imsize=512.0):
+    """Both engines' mask loss + gradient at one shared vertex state.
+
+    Returns ``(loss_rel_diff, grad_max_abs_diff / grad_max_abs)``.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from bodyfitting_tpu.fitting import torch_reference as tr
+    from bodyfitting_tpu.losses.silhouette import silhouette_loss
+
+    m = extras["mask"]
+    lj, gj = jax.value_and_grad(lambda v: silhouette_loss(
+        jnp.asarray(m["contours"]), jnp.asarray(m["contour_valid"]),
+        jnp.asarray(m["masks"]), jnp.asarray(m["w2cs"]),
+        jnp.asarray(m["Ks"]), v, imsize=imsize,
+    ))(jnp.asarray(verts))
+    vt = torch.tensor(np.asarray(verts), requires_grad=True)
+    lt = tr.multiview_mask_loss(
+        torch.tensor(np.asarray(m["contours"])),
+        torch.tensor(np.asarray(m["contour_valid"])),
+        torch.tensor(np.asarray(m["masks"])),
+        torch.tensor(np.asarray(m["w2cs"])),
+        torch.tensor(np.asarray(m["Ks"])), vt, imsize=imsize,
+    )
+    lt.backward()
+    ltf = float(lt.detach())
+    loss_rel = abs(float(lj) - ltf) / max(abs(ltf), 1e-12)
+    gt = vt.grad.numpy()
+    grad_rel = float(np.abs(np.asarray(gj) - gt).max()) / max(
+        float(np.abs(gt).max()), 1e-12
+    )
+    return loss_rel, grad_rel
+
+
+def mask_fit_quality(result, w2cs, Ks, keypoints, extras, imsize=512.0):
+    """Outcome-level quality of one converged mask fit.
+
+    Returns ``(kp_rms_px, contour_mean_px)``: RMS keypoint reprojection
+    error over all views, and the mean contour->model ICP distance over
+    the mask views (the two geometric quantities the staged objective
+    drives).
+    """
+    joints = np.asarray(result["joints"])
+    kp_se, kp_n = 0.0, 0
+    for i in range(len(w2cs)):
+        R, t = w2cs[i][:3, :3], w2cs[i][:3, 3]
+        cam = joints @ R.T + t
+        pr = cam @ Ks[i].T
+        uv = pr[:, :2] / pr[:, 2:3]
+        kp_se += float(((uv - keypoints[i][:, :2]) ** 2).sum())
+        kp_n += joints.shape[0]
+    kp_rms = np.sqrt(kp_se / max(kp_n, 1))
+
+    m = extras["mask"]
+    verts = np.asarray(result["vertices"])[::4]
+    dists, weights = [], []
+    for i in range(len(m["masks"])):
+        w2c, K = m["w2cs"][i], m["Ks"][i]
+        cam = verts @ w2c[:3, :3].T + w2c[:3, 3]
+        pr = cam @ K.T
+        uv = pr[:, :2] / pr[:, 2:3]
+        inside = ((uv[:, 0] >= 0) & (uv[:, 0] < imsize)
+                  & (uv[:, 1] >= 0) & (uv[:, 1] < imsize))
+        pts = uv[inside] if inside.any() else uv
+        c = m["contours"][i]
+        w = m["contour_valid"][i]
+        d = np.sqrt(
+            ((c[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        ).min(1)
+        dists.append((d * w).sum())
+        weights.append(w.sum())
+    contour_mean = float(sum(dists) / max(sum(weights), 1e-9))
+    return float(kp_rms), contour_mean
 
 
 def disp_step_parity(model, extras, constant_scale, bv, disp):
@@ -405,6 +487,43 @@ def run_parity(num_verts=10475, n_views=48, num_iters=600, seed=0,
         "torch_wall_s": t_torch,
         "jax_cpu_wall_s": t_jax,
     }
+    if fit_config == "mask":
+        # The staged mask fit is CHAOTIC past the gate: the contour->vertex
+        # ICP assignment is a discrete switch (the matched vertex jumps,
+        # teleporting that pixel's gradient), so two exact engines 1 ulp
+        # apart cross switch boundaries at different iterations and the
+        # long-horizon trajectories scatter — for the reference exactly as
+        # for any reimplementation.  The well-defined claims: (a) at any
+        # shared state both engines' mask loss + gradient agree to machine
+        # precision; (b) the cross-engine converged-fit deviation is the
+        # SAME SIZE as the torch engine's own scatter under a 1-ulp init
+        # perturbation (the problem's intrinsic run-to-run spread); (c)
+        # both engines' fits are equally good geometrically.
+        step_l, step_g = mask_step_parity(
+            extras, np.asarray(jax_res["vertices"]), imsize
+        )
+        report["mask_step_loss_rel"] = step_l
+        report["mask_step_grad_rel"] = step_g
+
+        torch_res_b = run_torch_fit(
+            model, w2cs, Ks, keypoints, cscale, num_iters, gmm, extras,
+            fit_config, imsize, init_perturb=1e-12,
+        )
+        self_dev = np.linalg.norm(
+            torch_res_b["vertices"] - torch_res["vertices"], axis=-1
+        )
+        report["torch_self_scatter_mm"] = \
+            float(self_dev.mean()) / scale_out * 1000.0
+
+        kp_j, ct_j = mask_fit_quality(jax_res, w2cs, Ks, keypoints,
+                                      extras, imsize)
+        kp_t, ct_t = mask_fit_quality(torch_res, w2cs, Ks, keypoints,
+                                      extras, imsize)
+        report["kp_rms_px_jax"] = kp_j
+        report["kp_rms_px_torch"] = kp_t
+        report["contour_mean_px_jax"] = ct_j
+        report["contour_mean_px_torch"] = ct_t
+
     if fit_config == "smpld":
         # Trajectory-level displacement comparison is chaotic by the
         # problem's nature: the per-iteration nearest-face assignment is a
@@ -577,6 +696,25 @@ def write_parity_staged_md(report):
         "| loss-trajectory rel diff (median / max) |" + "".join(
             f" {rows[c]['loss_rel_diff_median']:.1e} / "
             f"{rows[c]['loss_rel_diff_max']:.1e} |" for c in order),
+        "| mask loss: shared-state loss / grad rel diff |" + "".join(
+            (f" {rows[c]['mask_step_loss_rel']:.1e} / "
+             f"{rows[c]['mask_step_grad_rel']:.1e} |")
+            if "mask_step_loss_rel" in rows[c] else " n/a |"
+            for c in order),
+        "| torch self-scatter under 1-ulp init (mm) |" + "".join(
+            f" **{rows[c]['torch_self_scatter_mm']:.2f}** |"
+            if "torch_self_scatter_mm" in rows[c] else " n/a |"
+            for c in order),
+        "| keypoint RMS reprojection px (jax / torch) |" + "".join(
+            (f" {rows[c]['kp_rms_px_jax']:.2f} / "
+             f"{rows[c]['kp_rms_px_torch']:.2f} |")
+            if "kp_rms_px_jax" in rows[c] else " n/a |"
+            for c in order),
+        "| mean contour ICP px (jax / torch) |" + "".join(
+            (f" {rows[c]['contour_mean_px_jax']:.2f} / "
+             f"{rows[c]['contour_mean_px_torch']:.2f} |")
+            if "contour_mean_px_jax" in rows[c] else " n/a |"
+            for c in order),
         "| disp stage: shared-state loss rel / grad max-abs diff |"
         + "".join(
             (f" {rows[c]['disp_step_loss_rel']:.1e} / "
@@ -605,23 +743,31 @@ def write_parity_staged_md(report):
         "silhouette ICP + stay-inside, point-cloud, and the SMPL+D stage "
         "losses — is covered by a cross-engine f64 comparison.",
         "",
-        "**Displacement-stage metrics are outcome-level by necessity.** "
-        "The per-iteration nearest-face assignment is a discrete switch, "
-        "so the stage-2 descent is chaotic: two exact engines whose states "
-        "differ by 1 ulp cross switch boundaries at different iterations "
-        "and their displacement *fields* diverge tangentially (per-vertex "
-        "ICP slides along the surface).  The reference has the same "
-        "property against itself — its CUDA grid build orders per-cell "
-        "triangles with `atomicCAS` slot-claiming "
+        "**Reading the chaotic configs.** Unlike the smooth keypoint+GMM "
+        "objective (whose 600-iteration trajectories lock to ~1e-10 — "
+        "table above), the staged terms contain discrete switches: the "
+        "silhouette ICP's contour->vertex assignment jumps as vertices "
+        "move (the matched pixel's gradient teleports between vertices), "
+        "and the displacement stage's nearest-face lookup switches at "
+        "Voronoi boundaries.  Past the stage gate these make the descent "
+        "chaotic — two exact engines whose states differ by 1 ulp cross "
+        "switch boundaries at different iterations and their long-horizon "
+        "trajectories scatter.  The reference has the same property "
+        "against itself: a 1-ulp perturbation of the torch re-enactment's "
+        "init scatters its own converged mask fit by the `torch "
+        "self-scatter` row — the same size as the cross-engine deviation "
+        "— and its CUDA grid build orders per-cell triangles with "
+        "`atomicCAS` slot-claiming "
         "(/root/reference/thirdparty/mesh_grid/mesh_grid_kernel.cu:148-151), "
-        "so its own nearest-face tie-breaking varies run to run.  What is "
-        "well-defined and measured above: (a) the body-stage trajectory "
-        "and converged vertices lock (rows 2-5); (b) at any shared state "
-        "the two engines' stage-2 objective and gradient agree to "
-        "~1e-11 (tests/test_parity.py::test_displacement_step_parity); "
-        "(c) both engines' final deformed surfaces land on the scan with "
-        "equal residuals and lie on each other to sub-mm point-to-surface "
-        "distance.",
+        "so its own nearest-face tie-breaking varies run to run.  The "
+        "well-defined equivalences, all measured above: (a) short-horizon "
+        "staged trajectories lock (the CI tests pin 150-iteration mask "
+        "and SMPL+D runs to sub-1e-2-mm agreement); (b) at any shared "
+        "state both engines' staged losses and gradients agree to machine "
+        "precision; (c) converged fits are geometrically equivalent "
+        "(keypoint RMS, contour residual, scan residual, cross-engine "
+        "surface deviation) and the cross-engine spread matches the "
+        "problem's intrinsic run-to-run spread.",
         "",
     ]
     path = os.path.join(os.path.dirname(__file__), "PARITY.md")

@@ -135,3 +135,57 @@ def test_stacked_plans_index_inside_scan():
         float(_gather_loss(tex, uv, fg, tgt)) for uv, fg, tgt in cases
     ])
     np.testing.assert_allclose(got, ref, rtol=2e-6)
+
+
+def test_device_plan_builder_matches_host():
+    """build_uv_sample_plan_device reproduces the host builder exactly:
+    same packing decisions, same taps/weights/targets (after trimming its
+    static item padding), hence identical loss and texture gradient."""
+    rng = np.random.default_rng(3)
+    H = W = 24
+    S = 32
+    uv, fg, target = _rand_case(rng, H, W, S)
+    tex = jnp.asarray(rng.uniform(size=(S, S, 3)).astype(np.float32))
+
+    host = us.build_uv_sample_plan(
+        uv, fg, target, S, background=1.0, chunk=64, window_rows=5,
+    )
+    dev = jax.jit(
+        lambda u, f, t: us.build_uv_sample_plan_device(
+            u, f, t, S, background=1.0, chunk=64, window_rows=5,
+        )
+    )(jnp.asarray(uv), jnp.asarray(fg), jnp.asarray(target))
+    used = us.used_items(dev)
+    assert used == host.num_items
+    trimmed = us.trim_plan(dev, used)
+    for name in ("row_start", "x0", "x1", "wx", "dy", "dy1", "wy",
+                 "valid", "target"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(trimmed, name)),
+            np.asarray(getattr(host, name)), err_msg=name,
+        )
+    np.testing.assert_allclose(
+        float(dev.const_loss), float(host.const_loss), rtol=1e-6
+    )
+
+    # untrimmed loss/grad also agree (padded items are inert)
+    lh, gh = jax.value_and_grad(us.plan_l1_loss)(tex, host)
+    ld, gd = jax.value_and_grad(us.plan_l1_loss)(tex, dev)
+    np.testing.assert_allclose(float(ld), float(lh), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gh), atol=1e-6)
+
+
+def test_device_plan_builder_empty_foreground():
+    rng = np.random.default_rng(4)
+    S, H = 16, 8
+    target = rng.uniform(size=(H, H, 3)).astype(np.float32)
+    dev = us.build_uv_sample_plan_device(
+        jnp.zeros((H, H, 2)), jnp.zeros((H, H), bool),
+        jnp.asarray(target), S, background=0.5, chunk=16, window_rows=4,
+    )
+    assert float(jnp.sum(dev.valid)) == 0.0
+    tex = jnp.asarray(rng.uniform(size=(S, S, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        float(us.plan_l1_loss(tex, dev)),
+        float(np.abs(target - 0.5).sum()), rtol=1e-6,
+    )
