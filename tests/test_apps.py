@@ -466,3 +466,68 @@ def test_reference_cli_invocations_parse():
         "--smpl_uv_dir", "./data/smpl_uv", "--white_bkgd",
     ])
     assert rp.viewnum == 8 and rp.tasks[-1] == "output"
+
+
+def test_genebody_bbox_cache_identical_and_skips_decodes(
+    genebody_dataset, tmp_path
+):
+    """The per-frame bbox cache returns bit-identical get_data results
+    while skipping the mask decodes whose content is never used."""
+    root, subject, size = genebody_dataset
+    out_dir = tmp_path / "out"
+    from bodyfitting_tpu.apps import genebody
+
+    rng = np.random.default_rng(2)
+    args = genebody.config_parser().parse_args([
+        "--target_dir", str(root / "genebody"),
+        "--output_dir", str(out_dir),
+        "--subject", subject,
+        "--load_size", str(size),
+        "--num_iters", "4",
+        "--use_mask",
+        "--synthetic_num_verts", "64",
+    ])
+    runner = genebody.Runner(args)
+    frame = runner.seqs[0]
+    # keypoint JSONs cached -> image decodes skipped -> the bbox cache is
+    # what decides whether the mask files are opened at all
+    op_dir = out_dir / subject / ("%06d" % frame) / "openpose"
+    op_dir.mkdir(parents=True, exist_ok=True)
+    for view in runner.views:
+        _write_openpose_json(
+            str(op_dir / ("%02d_keypoints.json" % view)), rng, size
+        )
+
+    first = runner.get_data(frame)
+    cache = out_dir / subject / ("%06d" % frame) / "bbox_cache.npy"
+    assert cache.exists()
+
+    from bodyfitting_tpu.io import images as io_images
+
+    calls = []
+    orig = io_images.imread_checked
+
+    def counting(path, flags=None):
+        calls.append(path)
+        return orig(path, flags)
+
+    io_images.imread_checked = counting
+    # the app module imported the symbol directly
+    saved = genebody.imread_checked
+    genebody.imread_checked = counting
+    try:
+        second = runner.get_data(frame)
+    finally:
+        io_images.imread_checked = orig
+        genebody.imread_checked = saved
+
+    # only the GT-mask views' masks are decoded on the cached run
+    n_gt = len([v for v in runner.views if v in runner.mask_frames])
+    assert len(calls) == n_gt, calls
+    for a, b in zip(first, second):
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            if x is None:
+                assert y is None
+            else:
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
