@@ -114,6 +114,131 @@ def _time_fit(model, config, obs, init, prior, batched, iters, label):
     return dt
 
 
+def _torch_staged_walls(model, obs, prior, *, use_mask, use_mesh,
+                        displacement, n_lo=4, n_hi=13):
+    """Per-iteration costs of the torch re-enactment of the reference
+    loop structure (fitting/torch_reference.smplify_fit — the
+    parity-validated one) for a staged config.
+
+    Returns ``(kp_s, gated_extra_s, disp_s)``: seconds per keypoint-only
+    iteration, extra seconds per gated (mask/mesh) iteration, and seconds
+    per displacement-stage iteration (0 unless ``displacement``).
+    Measured from wall differences between two iteration counts so
+    constant setup cancels; the reference's gate sits at
+    ``num_iters // 3`` in both engines.
+    """
+    import dataclasses as _dc  # noqa: F401
+
+    from bodyfitting_tpu.fitting import torch_reference as tr
+
+    md = tr.torch_model_from_jax(model)
+    gmm_arrays = (np.asarray(prior.means), np.asarray(prior.precisions),
+                  np.asarray(prior.log_nll_weights))
+    w2cs = np.asarray(obs.w2cs)
+    Ks = np.asarray(obs.Ks)
+    kps = np.asarray(obs.keypoints)
+    kw = {}
+    if use_mask:
+        kw.update(use_mask=True, mask_data=dict(
+            contours=np.asarray(obs.contours),
+            contour_valid=np.asarray(obs.contour_valid),
+            masks=np.asarray(obs.masks),
+            w2cs=np.asarray(obs.mask_w2cs), Ks=np.asarray(obs.mask_Ks),
+        ))
+    if use_mesh:
+        kw.update(use_mesh=True, scan=dict(
+            verts=np.asarray(obs.scan_verts),
+            faces=np.asarray(obs.scan_faces),
+        ))
+
+    def wall(n, disp):
+        t0 = time.perf_counter()
+        tr.smplify_fit(
+            md, w2cs, Ks, kps, gmm_arrays, num_iters=n,
+            displacement=disp, num_betas=model.num_betas,
+            num_expressions=model.num_expressions, **kw,
+        )
+        return time.perf_counter() - t0
+
+    gated = lambda n: n - n // 3 - 1  # noqa: E731
+    w_lo_kp = None
+    if use_mask or use_mesh:
+        # keypoint-only per-iter cost from plain runs
+        t_lo = time.perf_counter()
+        tr.smplify_fit(md, w2cs, Ks, kps, gmm_arrays, num_iters=n_lo,
+                       num_betas=model.num_betas,
+                       num_expressions=model.num_expressions)
+        t_lo = time.perf_counter() - t_lo
+        t_hi = time.perf_counter()
+        tr.smplify_fit(md, w2cs, Ks, kps, gmm_arrays, num_iters=n_hi,
+                       num_betas=model.num_betas,
+                       num_expressions=model.num_expressions)
+        t_hi = time.perf_counter() - t_hi
+        kp_s = (t_hi - t_lo) / (n_hi - n_lo)
+        m_lo, m_hi = wall(n_lo, False), wall(n_hi, False)
+        gated_s = max(
+            ((m_hi - m_lo) - (n_hi - n_lo) * kp_s)
+            / max(gated(n_hi) - gated(n_lo), 1), 0.0,
+        )
+        w_lo_kp = m_lo
+    else:
+        t_lo, t_hi = wall(n_lo, False), wall(n_hi, False)
+        kp_s = (t_hi - t_lo) / (n_hi - n_lo)
+        gated_s = 0.0
+    disp_s = 0.0
+    if displacement and use_mesh:
+        d_lo, d_hi = wall(n_lo, True), wall(n_hi, True)
+        base_lo = w_lo_kp if w_lo_kp is not None else t_lo
+        disp_s = max((d_hi - d_lo - (wall(n_hi, False) - base_lo))
+                     / (n_hi - n_lo), 0.0)
+    return kp_s, gated_s, disp_s
+
+
+def _reference_600_wall(kp_s, gated_s, disp_s, displacement):
+    """Extrapolated wall of the reference 600-iteration schedule (plus a
+    600-iteration displacement stage when enabled)."""
+    w = 600 * kp_s + (600 - 600 // 3 - 1) * gated_s
+    if displacement:
+        w += 600 * disp_s
+    return w
+
+
+def _torch_texfit_iter_s(uv_map, fg, target, S=1024, iters=8):
+    """Per-iteration wall of the reference texture-fit structure in
+    torch-CPU: grid_sample the texture at the precomputed visible-pixel
+    UVs, L1 to the target, Adam on the texture
+    (texture_fitting.py:257-276 semantics).  DELIBERATE UNDERESTIMATE of
+    the reference's cost: the two per-iteration rasterizations the
+    reference also pays are excluded (no torch rasterizer here), so the
+    reported speedup is a lower bound.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    uvt = torch.tensor(np.asarray(uv_map), dtype=torch.float32)
+    grid = uvt * 2.0 - 1.0
+    grid = torch.stack([grid[..., 0], -grid[..., 1]], -1)[None, :, :, :]
+    fgt = torch.tensor(np.asarray(fg), dtype=torch.float32)[None, None]
+    tgt = torch.tensor(
+        np.asarray(target), dtype=torch.float32
+    ).permute(2, 0, 1)[None]
+    tex = torch.full((1, 3, S, S), 0.5, requires_grad=True)
+    opt = torch.optim.Adam([tex], lr=1e-2)
+    walls = []
+    for it in range(iters + 2):
+        t0 = time.perf_counter()
+        smp = F.grid_sample(tex, grid, mode="bilinear",
+                            padding_mode="border", align_corners=False)
+        img = smp * fgt + (1 - fgt)
+        loss = (img - tgt).abs().sum()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if it >= 2:                     # skip torch's lazy-init iters
+            walls.append(time.perf_counter() - t0)
+    return float(np.median(walls))
+
+
 def main():
     import argparse
 
@@ -127,6 +252,12 @@ def main():
         "--only", nargs="*", default=None,
         choices=["1", "2", "3", "4", "5", "5b"],
         help="run only these configs (default: all)",
+    )
+    ap.add_argument(
+        "--baseline", action="store_true",
+        help="also measure the torch re-enactment of the reference loop "
+             "structure per config (1-CPU host; run nothing else "
+             "concurrently) and print vs_baseline ratios",
     )
     cli = ap.parse_args()
 
@@ -167,11 +298,25 @@ def main():
     # config 3: + silhouette
     if want("3"):
         cfg3 = smplify.FitConfig(num_iters=iters, use_mask=True)
-        _time_fit(
-            smpl, cfg3, _obs(smpl, rng, use_mask=True),
+        obs3 = _obs(smpl, rng, use_mask=True)
+        dt3 = _time_fit(
+            smpl, cfg3, obs3,
             smplify.FitParams.init(smpl), prior, False, iters,
             "config3 smpl + mask",
         )
+        if cli.baseline:
+            kp_s, g_s, _ = _torch_staged_walls(
+                smpl, obs3, prior, use_mask=True, use_mesh=False,
+                displacement=False,
+            )
+            ref600 = _reference_600_wall(kp_s, g_s, 0.0, False)
+            jax600 = dt3 * 600 / iters
+            print(
+                f"config3 baseline (torch re-enactment, same structure): "
+                f"{kp_s*1e3:.0f}ms/kp-iter +{g_s*1e3:.0f}ms/masked-iter "
+                f"-> 600-iter fit {ref600:.1f}s vs jax {jax600:.2f}s "
+                f"= {ref600/jax600:.0f}x"
+            )
 
     # config 4: SMPL+D scan fit (SDF and exact)
     if want("4"):
@@ -186,14 +331,34 @@ def main():
         jax.block_until_ready(obs4.scan_volume.dist)
         print(f"config4 SDF volume build (80k faces, 96^3): "
               f"{time.perf_counter() - t0:.1f}s one-time")
+        dt4 = None
         for impl in ("sdf", "exact"):
             cfg4 = smplify.FitConfig(
                 num_iters=iters, use_mesh=True, displacement=True,
                 mesh_loss_impl=impl,
             )
-            _time_fit(
+            dt = _time_fit(
                 smpl, cfg4, obs4, smplify.FitParams.init(smpl), prior,
                 False, 2 * iters, f"config4 smpl+d scan ({impl})",
+            )
+            if impl == "sdf":
+                dt4 = dt
+        if cli.baseline:
+            # torch exact nearest on 80k faces is ~tens of seconds per
+            # iteration on this 1-CPU host: 3 vs 5 iterations suffice for
+            # the per-iteration differences
+            kp_s, g_s, d_s = _torch_staged_walls(
+                smpl, obs4, prior, use_mask=False, use_mesh=True,
+                displacement=True, n_lo=3, n_hi=5,
+            )
+            ref600 = _reference_600_wall(kp_s, g_s, d_s, True)
+            jax600 = dt4 * 600 / iters
+            print(
+                f"config4 baseline (torch re-enactment, exact nearest): "
+                f"{kp_s*1e3:.0f}ms/kp-iter +{g_s*1e3:.0f}ms/mesh-iter "
+                f"+{d_s*1e3:.0f}ms/disp-iter -> 600+600-iter fit "
+                f"{ref600:.0f}s vs jax(sdf) {jax600:.2f}s "
+                f"= {ref600/jax600:.0f}x"
             )
 
     # config 5: 150-frame sequence fit (temporal coupling)
@@ -268,6 +433,40 @@ def main():
             print(f"config5b texfit 200 iters ({name}): {walls[0]:.1f}s "
                   f"incl compile, {walls[1]:.1f}s warm "
                   f"(final L1 {final:.0f})")
+            if cli.baseline and name == "re-raster":
+                # torch texfit-iteration baseline needs the visible-pixel
+                # UV map once (from the jax side; geometry is static)
+                from bodyfitting_tpu.ops import rasterize as rz
+                from bodyfitting_tpu.ops.pallas_kernels import (
+                    auto_rasterize,
+                )
+
+                center, _, dist = texfit.scene_bounds(sv)
+                w2c0 = jnp.asarray(texfit.ring_poses(center, 18, dist)[0],
+                                   jnp.float32)
+                K0 = jnp.asarray(texfit.default_K(512))
+                px, fz = rz.project_faces(
+                    jnp.asarray(sv), jnp.asarray(hull_f), w2c0, K0
+                )
+                raster = auto_rasterize(px, fz, 512)
+                uvmap = np.asarray(
+                    rz.interpolate_uvs(raster, jnp.asarray(fuv))
+                )
+                fg = np.asarray(raster.face_idx >= 0)
+                tgt = np.asarray(texfit.render_textured(
+                    jnp.asarray(sv), jnp.asarray(hull_f),
+                    jnp.asarray(fuv), jnp.asarray(scan_tex), w2c0, K0,
+                    512,
+                )[0])
+                it_s = _torch_texfit_iter_s(uvmap, fg, tgt)
+                ref200 = 200 * it_s
+                print(
+                    f"config5b baseline (torch grid_sample+L1+Adam, NO "
+                    f"rasterization — a deliberate underestimate of the "
+                    f"reference iteration): {it_s*1e3:.0f}ms/iter -> "
+                    f"200 iters {ref200:.1f}s vs jax {walls[1]:.1f}s "
+                    f"= {ref200/walls[1]:.1f}x (lower bound)"
+                )
 
 
 if __name__ == "__main__":
