@@ -818,9 +818,9 @@ def main():
         if cfg in ("mesh", "smpld"):
             # torch's exact per-iteration nearest sweep is O(V * 4F) on one
             # CPU core: full SMPL-X scale is hours-per-run there, so the
-            # published row uses a mid scale (still ~33M point-face pairs
-            # per iteration, the same math at every scale)
-            nv, vw, it, ims, nmv, cp = 2048, 8, 600, 512.0, 0, 512
+            # published row uses a mid scale (~8M point-face pairs per
+            # iteration, the same math at every scale)
+            nv, vw, it, ims, nmv, cp = 1024, 8, 600, 512.0, 0, 512
         else:
             nv, vw, it, ims, nmv, cp = 10475, 48, 600, 512.0, 8, 512
     nv = args.num_verts or nv
