@@ -250,7 +250,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--only", nargs="*", default=None,
-        choices=["1", "2", "3", "4", "5", "5b"],
+        choices=["1", "2", "3", "3b", "4", "5", "5b"],
         help="run only these configs (default: all)",
     )
     ap.add_argument(
@@ -317,6 +317,44 @@ def main():
                 f"-> 600-iter fit {ref600:.1f}s vs jax {jax600:.2f}s "
                 f"= {ref600/jax600:.0f}x"
             )
+
+    # config 3b: the production GT-mask workload — SMPL-X, 48 views with
+    # 8 GT-mask views at 512^2, batched frames (the GeneBody shape the
+    # silhouette-loss improvements land on; the 2-view config 3 above is
+    # keypoint-dominated and hides them)
+    if want("3b"):
+        import dataclasses
+
+        from bodyfitting_tpu.losses.silhouette import (
+            extract_contours, resample_contours,
+        )
+
+        B3 = 8
+        obs3b = _obs(smplx, rng, n_views=48)
+        masks = np.zeros((8, 512, 512), np.float32)
+        masks[:, 100:400, 180:330] = 255
+        contours, valid = extract_contours(list(masks))
+        contours, weights = resample_contours(contours, valid, 512)
+        w2cs48, Ks48 = _ring(48)
+        obs3b = dataclasses.replace(
+            obs3b,
+            masks=jnp.asarray(masks / 255.0),
+            mask_w2cs=w2cs48[:8], mask_Ks=Ks48[:8],
+            contours=jnp.asarray(contours),
+            contour_valid=jnp.asarray(weights),
+        )
+        obs3b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B3,) + x.shape), obs3b
+        )
+        init3b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B3,) + x.shape),
+            smplify.FitParams.init(smplx),
+        )
+        cfg3b = smplify.FitConfig(num_iters=iters, use_mask=True)
+        _time_fit(
+            smplx, cfg3b, obs3b, init3b, prior, True, iters,
+            f"config3b smplx batch{B3} 48-view + 8 GT masks",
+        )
 
     # config 4: SMPL+D scan fit (SDF and exact)
     if want("4"):

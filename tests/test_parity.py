@@ -103,8 +103,10 @@ def test_loss_matches_torch_reenactment():
         for g in (gmm.means, gmm.precisions, gmm.log_nll_weights)
     )
     loss_t, _ = tr.multiview_keypoint_loss(
-        [torch.tensor(w) for w in w2cs], [torch.tensor(k) for k in Ks],
-        [torch.tensor(k) for k in kps], joints * cscale,
+        [torch.tensor(w, dtype=torch.float32) for w in w2cs],
+        [torch.tensor(k, dtype=torch.float32) for k in Ks],
+        [torch.tensor(k, dtype=torch.float32) for k in kps],
+        joints * cscale,
         pt["body_pose"], pt["betas"], gmm_t, use_hand_face=True,
     )
     assert abs(float(loss_jax) - float(loss_t)) / abs(float(loss_t)) < 1e-5
