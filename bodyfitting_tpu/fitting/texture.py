@@ -43,18 +43,17 @@ class TextureFitConfig:
     face_block: int = 256
     seed: int = 0
     # geometry is FIXED during texture optimisation, so every unique
-    # camera's raster maps and scan render can be computed once; each Adam
-    # iteration is then pure differentiable sampling.  Only pays off when
-    # the schedule heavily revisits poses (iter_num >> unique poses, e.g.
-    # round-view only): the reference schedule is ~64% unique, where the
-    # per-call unique-pose rasters + host plan build dominate and measured
-    # 82s vs re-raster's 27.8s for 200 iters at 1024^2/512^2 on the chip
-    # (bench_configs.py --only 5b) — so the default keeps re-rasterising.
-    precompute: bool = False
-    # precompute mode only: replace the per-pixel texture gathers with
-    # host-bucketed one-hot matmuls on the MXU (ops/uv_sample.py) — same
-    # loss values, cheaper per-iteration than the 51 ms/iter gather
-    # sampler, but does not rescue precompute mode end-to-end (above)
+    # camera's raster maps and scan render are computed once; each Adam
+    # iteration is then two dense one-hot matmuls per work item on the MXU
+    # (ops/uv_sample.py, plans built on device) — 3.8 ms/iter vs the
+    # re-raster path's ~93 ms/iter, same loss values (pinned by
+    # tests/test_texture_precompute.py).  At the reference schedule (~64%
+    # unique poses) the 200-iter texfit measures 22s warm vs re-raster's
+    # 28s; schedules that revisit poses compound the win.  Set
+    # precompute=False to re-render every iteration like the reference.
+    precompute: bool = True
+    # precompute mode only: False falls back to gather-based sampling of
+    # the cached UV maps (same values; ~6x slower iterations)
     bucketed_uv: bool = True
     uv_chunk: int = 2048
     uv_window_rows: int = 8

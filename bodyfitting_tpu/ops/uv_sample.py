@@ -281,15 +281,12 @@ def build_uv_sample_plan_device(
     order = jnp.argsort(key, stable=True)
     y0s = jnp.concatenate([key[order], jnp.full((1,), BIG, jnp.int32)])
 
-    # Row-cut table: cum[r] = #fg pixels with y0 < r.  The packer's
-    # binary searches become O(1) lookups (a searchsorted over the 262k
-    # sorted keys per scan step measured ~10s across a vmapped batch).
-    counts = jnp.zeros(S, jnp.int32).at[
-        jnp.where(fg_flat, y0i, 0)
-    ].add(fg_flat.astype(jnp.int32))
-    cum = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)]
-    )                                                  # [S + 1]
+    # Row-cut table: cum[r] = #fg pixels with y0 < r, as one vectorized
+    # binary search over the sorted keys (a scatter-add histogram or a
+    # per-step searchsorted both hit slow per-element TPU paths).
+    cum = jnp.searchsorted(
+        y0s[:-1], jnp.arange(S + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)                                # [S + 1]
 
     # Greedy packing: the host builder's while loop as a bounded scan.
     # cut(left)  = #keys <  row+R = cum[row+R]     (searchsorted left)
@@ -306,27 +303,36 @@ def build_uv_sample_plan_device(
         pack, jnp.int32(0), None, length=I
     )
 
-    # Slot fill: one [I, K] gather per tap array.
+    # Slot fill: ONE row gather.  Per-element gathers of six separate tap
+    # arrays are a slow TPU path (measured ~7s across a 128-pose batch);
+    # packing the per-pixel tap data into [N, 6+C] rows makes the fill a
+    # single contiguous-row gather.
     slot = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
     slot_valid = slot < ends[:, None]
     src = jnp.where(slot_valid, order[jnp.minimum(slot, N - 1)], 0)
 
-    def take(a):
-        return a[src]
-
-    dy = jnp.where(slot_valid, take(y0i) - rows_out[:, None], 0)
-    dy1 = jnp.where(slot_valid, take(y1i) - rows_out[:, None], 0)
+    packed = jnp.concatenate(
+        [x0[:, None], x1[:, None], wx[:, None],
+         y0[:, None], y1[:, None], wy[:, None], tgt_flat], axis=1,
+    )                                                  # [N, 6 + C]
+    rowsf = packed[src]                                # [I, K, 6 + C]
     vmaskf = slot_valid.astype(jnp.float32)
+    rowsf = rowsf * vmaskf[..., None]
+    rowbase = rows_out[:, None].astype(jnp.float32)
     return UVSamplePlan(
         row_start=rows_out,
-        x0=jnp.where(slot_valid, take(x0i), 0).astype(jnp.int16),
-        x1=jnp.where(slot_valid, take(x1i), 0).astype(jnp.int16),
-        wx=take(wx) * vmaskf,
-        dy=dy.astype(jnp.int8),
-        dy1=dy1.astype(jnp.int8),
-        wy=take(wy) * vmaskf,
+        x0=rowsf[..., 0].astype(jnp.int16),
+        x1=rowsf[..., 1].astype(jnp.int16),
+        wx=rowsf[..., 2],
+        dy=jnp.where(slot_valid, rowsf[..., 3] - rowbase, 0.0).astype(
+            jnp.int8
+        ),
+        dy1=jnp.where(slot_valid, rowsf[..., 4] - rowbase, 0.0).astype(
+            jnp.int8
+        ),
+        wy=rowsf[..., 5],
         valid=vmaskf,
-        target=take(tgt_flat) * vmaskf[..., None],
+        target=rowsf[..., 6:],
         const_loss=const,
         window_rows=R,
     )
