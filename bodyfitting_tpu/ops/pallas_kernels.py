@@ -765,9 +765,14 @@ def contour_min_idx(
     distances through a gather, reference loss.py:240 semantics).
     """
     P, M = contour.shape[0], proj.shape[0]
+    ppad = _cdiv(P, 8) * 8 - P
+    # the kernel materializes ~3 [P, point_block] f32 transients
+    # (dx, dy, d2); keep them ~<= 12 MB of the 16 MB VMEM so long raw
+    # contours (P = 4096 before resampling) still compile
+    budget = max(128, (1_000_000 // max(P + ppad, 1)) // 128 * 128)
+    point_block = min(point_block, budget)
     mb = _cdiv(M, point_block)
     mpad = mb * point_block - M
-    ppad = _cdiv(P, 8) * 8 - P
 
     soa = jnp.concatenate(
         [proj.T, jnp.where(valid > 0, 0.0, _FAR)[None, :]], axis=0
