@@ -862,9 +862,30 @@ def main():
               "not updated and no verdict gated", file=sys.stderr)
         return 0
     report = reports[0]
-    ok = report["mean_vertex_dev_mm"] <= 1.0
-    if "mean_disp_dev_mm" in report:
-        ok = ok and report["mean_disp_dev_mm"] <= 1.0
+    if cfg == "mask":
+        # chaotic config (see PARITY.md): gate on the well-defined
+        # equivalences — machine-precision shared-state loss/grad,
+        # geometric outcome equality, and cross-engine scatter within the
+        # problem's own 1-ulp run-to-run spread
+        ok = (
+            report["mask_step_loss_rel"] < 1e-10
+            and report["mask_step_grad_rel"] < 1e-10
+            and abs(report["kp_rms_px_jax"] - report["kp_rms_px_torch"])
+            < 0.05 * report["kp_rms_px_torch"] + 1e-3
+            and report["mean_vertex_dev_mm"]
+            < 3.0 * report["torch_self_scatter_mm"] + 1.0
+        )
+    elif cfg == "smpld":
+        ok = (
+            report["mean_vertex_dev_mm"] <= 1.0        # body stage locks
+            and report["disp_step_loss_rel"] < 1e-10
+            and report["disp_step_grad_max_abs"] < 1e-8
+            and abs(report["scan_residual_jax_mm"]
+                    - report["scan_residual_torch_mm"])
+            < 0.15 * report["scan_residual_torch_mm"] + 1e-3
+        )
+    else:
+        ok = report["mean_vertex_dev_mm"] <= 1.0
     print(json.dumps({
         "parity_mean_vertex_dev_mm": report["mean_vertex_dev_mm"],
         "config": cfg,
