@@ -161,19 +161,22 @@ def _torch_staged_walls(model, obs, prior, *, use_mask, use_mesh,
         return time.perf_counter() - t0
 
     gated = lambda n: n - n // 3 - 1  # noqa: E731
+
+    def kp_wall(n):
+        t0 = time.perf_counter()
+        tr.smplify_fit(md, w2cs, Ks, kps, gmm_arrays, num_iters=n,
+                       num_betas=model.num_betas,
+                       num_expressions=model.num_expressions)
+        return time.perf_counter() - t0
+
+    # One throwaway run first: torch's allocator/BLAS-thread init lands in
+    # whichever timed call comes first and can exceed the (n_hi-n_lo)-iter
+    # delta, driving the differenced per-iter cost negative.
+    kp_wall(2)
     w_lo_kp = None
     if use_mask or use_mesh:
         # keypoint-only per-iter cost from plain runs
-        t_lo = time.perf_counter()
-        tr.smplify_fit(md, w2cs, Ks, kps, gmm_arrays, num_iters=n_lo,
-                       num_betas=model.num_betas,
-                       num_expressions=model.num_expressions)
-        t_lo = time.perf_counter() - t_lo
-        t_hi = time.perf_counter()
-        tr.smplify_fit(md, w2cs, Ks, kps, gmm_arrays, num_iters=n_hi,
-                       num_betas=model.num_betas,
-                       num_expressions=model.num_expressions)
-        t_hi = time.perf_counter() - t_hi
+        t_lo, t_hi = kp_wall(n_lo), kp_wall(n_hi)
         kp_s = (t_hi - t_lo) / (n_hi - n_lo)
         m_lo, m_hi = wall(n_lo, False), wall(n_hi, False)
         gated_s = max(
@@ -182,7 +185,7 @@ def _torch_staged_walls(model, obs, prior, *, use_mask, use_mesh,
         )
         w_lo_kp = m_lo
     else:
-        t_lo, t_hi = wall(n_lo, False), wall(n_hi, False)
+        t_lo, t_hi = kp_wall(n_lo), kp_wall(n_hi)
         kp_s = (t_hi - t_lo) / (n_hi - n_lo)
         gated_s = 0.0
     disp_s = 0.0
@@ -450,6 +453,7 @@ def main():
              for i in range(3)], 1,
         ).astype(np.float32)
         scan_tex = rng.uniform(size=(1024, 1024, 3)).astype(np.float32)
+        mode_walls = {}
         for pre, bucketed, name in (
             (True, True, "precompute+bucketed"),
             (True, False, "precompute+gather"),
@@ -468,43 +472,49 @@ def main():
                 )
                 final = float(losses[-1])  # host fetch IN the timed wall
                 walls.append(time.perf_counter() - t0)
+            mode_walls[name] = walls[1]
             print(f"config5b texfit 200 iters ({name}): {walls[0]:.1f}s "
                   f"incl compile, {walls[1]:.1f}s warm "
                   f"(final L1 {final:.0f})")
-            if cli.baseline and name == "re-raster":
-                # torch texfit-iteration baseline needs the visible-pixel
-                # UV map once (from the jax side; geometry is static)
-                from bodyfitting_tpu.ops import rasterize as rz
-                from bodyfitting_tpu.ops.pallas_kernels import (
-                    auto_rasterize,
-                )
+        if cli.baseline:
+            # torch texfit-iteration baseline needs the visible-pixel
+            # UV map once (from the jax side; geometry is static)
+            from bodyfitting_tpu.ops import rasterize as rz
+            from bodyfitting_tpu.ops.pallas_kernels import auto_rasterize
 
-                center, _, dist = texfit.scene_bounds(sv)
-                w2c0 = jnp.asarray(texfit.ring_poses(center, 18, dist)[0],
-                                   jnp.float32)
-                K0 = jnp.asarray(texfit.default_K(512))
-                px, fz = rz.project_faces(
-                    jnp.asarray(sv), jnp.asarray(hull_f), w2c0, K0
-                )
-                raster = auto_rasterize(px, fz, 512)
-                uvmap = np.asarray(
-                    rz.interpolate_uvs(raster, jnp.asarray(fuv))
-                )
-                fg = np.asarray(raster.face_idx >= 0)
-                tgt = np.asarray(texfit.render_textured(
-                    jnp.asarray(sv), jnp.asarray(hull_f),
-                    jnp.asarray(fuv), jnp.asarray(scan_tex), w2c0, K0,
-                    512,
-                )[0])
-                it_s = _torch_texfit_iter_s(uvmap, fg, tgt)
-                ref200 = 200 * it_s
-                print(
-                    f"config5b baseline (torch grid_sample+L1+Adam, NO "
-                    f"rasterization — a deliberate underestimate of the "
-                    f"reference iteration): {it_s*1e3:.0f}ms/iter -> "
-                    f"200 iters {ref200:.1f}s vs jax {walls[1]:.1f}s "
-                    f"= {ref200/walls[1]:.1f}x (lower bound)"
-                )
+            center, _, dist = texfit.scene_bounds(sv)
+            w2c0 = jnp.asarray(texfit.ring_poses(center, 18, dist)[0],
+                               jnp.float32)
+            K0 = jnp.asarray(texfit.default_K(512))
+            px, fz = rz.project_faces(
+                jnp.asarray(sv), jnp.asarray(hull_f), w2c0, K0
+            )
+            raster = auto_rasterize(px, fz, 512)
+            uvmap = np.asarray(
+                rz.interpolate_uvs(raster, jnp.asarray(fuv))
+            )
+            fg = np.asarray(raster.face_idx >= 0)
+            tgt = np.asarray(texfit.render_textured(
+                jnp.asarray(sv), jnp.asarray(hull_f),
+                jnp.asarray(fuv), jnp.asarray(scan_tex), w2c0, K0,
+                512,
+            )[0])
+            it_s = _torch_texfit_iter_s(uvmap, fg, tgt)
+            ref200 = 200 * it_s
+            # Compare against the DEFAULT (bucketed) path's full warm
+            # wall: torch's side omits the reference's two per-iteration
+            # rasterizations (no torch rasterizer here) while the jax
+            # wall INCLUDES its unique-pose rasters + plan build, so the
+            # ratio is a lower bound on the true per-capability speedup.
+            jax_wall = mode_walls["precompute+bucketed"]
+            print(
+                f"config5b baseline (torch grid_sample+L1+Adam, NO "
+                f"rasterization — a deliberate underestimate of the "
+                f"reference iteration): {it_s*1e3:.0f}ms/iter -> "
+                f"200 iters {ref200:.1f}s vs jax default (incl rasters + "
+                f"plan build) {jax_wall:.1f}s "
+                f"= {ref200/jax_wall:.1f}x (lower bound)"
+            )
 
 
 if __name__ == "__main__":
