@@ -134,7 +134,8 @@ def fit_sequence(
         return (params, opt_state), loss
 
     (params, _), losses = jax.lax.scan(
-        step_fn, (init_batched, opt_state), jnp.arange(config.num_iters)
+        step_fn, (init_batched, opt_state), jnp.arange(config.num_iters),
+        unroll=config.scan_unroll,
     )
 
     out = jax.vmap(lambda p: bm.forward(model, p.body))(params)

@@ -81,6 +81,14 @@ class FitConfig:
     # returned vertices still come from the full model.  Auto-disabled
     # when use_mask/use_mesh need full vertices per iteration.
     reduce_joints_only: bool = True
+    # lax.scan unroll factor for the Adam loops.  Measured NO-WIN on the
+    # latency-bound headline shape (BENCH_NOTES: 150fx48vx600, walls flat
+    # at unroll 1/2/4/8) — the per-step latency is op scheduling inside
+    # the step, not loop bookkeeping — and unroll>1 changes fusion and
+    # therefore float rounding, which scatters the chaotic trajectories
+    # (CLAUDE.md).  Keep 1 for reproducible fits; the knob stays for
+    # experiments on other deployments.
+    scan_unroll: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -350,7 +358,8 @@ def fit(
     step_fn = make_step_fn(model, config, obs, pose_prior_fn, tx)
 
     (params, _), losses = jax.lax.scan(
-        step_fn, (init, opt_state), jnp.arange(config.num_iters)
+        step_fn, (init, opt_state), jnp.arange(config.num_iters),
+        unroll=config.scan_unroll,
     )
 
     result = fit_result(model, params, obs)
@@ -425,7 +434,8 @@ def fit_displacement(
         return (disp, opt_state), loss
 
     (disp, _), losses = jax.lax.scan(
-        step_fn, (disp0, opt_state), None, length=config.num_iters
+        step_fn, (disp0, opt_state), None, length=config.num_iters,
+        unroll=config.scan_unroll,
     )
     return disp, losses
 
