@@ -145,6 +145,10 @@ def main():
     ap.add_argument("--prep_workers", type=int, default=2)
     ap.add_argument("--timing", action="store_true")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run the Runner N times on the same output dir; "
+                         "pass 2+ measures the steady state with warm "
+                         "openpose-JSON and bbox caches")
     args = ap.parse_args()
 
     from bodyfitting_tpu.utils.compilation_cache import (
@@ -175,29 +179,41 @@ def main():
         "--batch_frames", str(args.batch_frames),
         "--prep_workers", str(args.prep_workers),
     ] + (["--timing"] if args.timing else []))
-    runner = genebody.Runner(app_args)
-    write_openpose_jsons(out_dir, subject, frames_kp, runner.views, 512)
+    write_openpose_jsons(
+        out_dir, subject, frames_kp, genebody.Runner(app_args).views, 512
+    )
 
-    t0 = time.perf_counter()
-    runner.run()
-    wall = time.perf_counter() - t0
+    # Pass 1 populates the per-frame bbox caches under output_dir; later
+    # passes measure the steady state (re-runs over an already-processed
+    # subject: all ~40 non-GT-mask PNG decodes per frame skipped).  A
+    # fresh Runner per pass keeps per-process state out of the timing.
+    walls = []
+    for rep in range(max(args.repeat, 1)):
+        runner = genebody.Runner(app_args)
+        t0 = time.perf_counter()
+        runner.run()
+        walls.append(time.perf_counter() - t0)
 
-    # verify outputs
-    n_obj = len(os.listdir(os.path.join(out_dir, subject, "smpl")))
-    n_npy = len(os.listdir(os.path.join(out_dir, subject, "param")))
-    assert n_obj == args.n_frames and n_npy == args.n_frames, (n_obj, n_npy)
-    trace = os.path.join(out_dir, subject, "loss_trace.jsonl")
-    assert os.path.exists(trace)
+        # verify outputs
+        n_obj = len(os.listdir(os.path.join(out_dir, subject, "smpl")))
+        n_npy = len(os.listdir(os.path.join(out_dir, subject, "param")))
+        assert n_obj == args.n_frames and n_npy == args.n_frames, (
+            n_obj, n_npy)
+        trace = os.path.join(out_dir, subject, "loss_trace.jsonl")
+        assert os.path.exists(trace)
 
     print(json.dumps({
         "metric": "genebody_e2e_wall_s",
-        "value": round(wall, 1),
+        "value": round(walls[-1], 1),
         "unit": (
             f"s for {args.n_frames} frames x 48 views x 512^2 SMPL-X, "
             f"{args.num_iters} iters, GT-mask silhouettes, incl. IO/"
             f"contours/compile/outputs"
+            + (f"; steady-state pass {len(walls)} (pass walls "
+               f"{[round(w, 1) for w in walls]})" if args.repeat > 1
+               else "")
         ),
-        "frames_per_sec_e2e": round(args.n_frames / wall, 2),
+        "frames_per_sec_e2e": round(args.n_frames / walls[-1], 2),
     }))
     if not args.keep:
         shutil.rmtree(work, ignore_errors=True)
