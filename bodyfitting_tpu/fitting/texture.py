@@ -57,6 +57,15 @@ class TextureFitConfig:
     bucketed_uv: bool = True
     uv_chunk: int = 2048
     uv_window_rows: int = 8
+    # precompute mode: unique-pose maps are built `map_chunk` poses per
+    # program via lax.map (the Pallas rasterizer is a single op, so
+    # scanning over poses is cheap to compile — the CLAUDE.md warning
+    # about lax.map exploding compile time applies to the old XLA
+    # scan-over-faces rasterizer).  Measured NEUTRAL on the warm wall vs
+    # the per-pose host loop on this tunnel (async dispatch already
+    # pipelines the 128 launches); kept because it cuts the launch count
+    # 32x and replaces the 128-way per-pose restack with 4 concats.
+    map_chunk: int = 32
 
 
 # ---------------------------------------------------------------------------
@@ -320,15 +329,31 @@ def fit_texture(
             uv_map = rz.interpolate_uvs(raster, smpl_uv)
             return scan_img, uv_map, raster.face_idx >= 0
 
-        # host loop over the jitted per-pose map: one compile, short calls
-        # (lax.map would nest the raster scan and explode compile time)
-        maps_jit = jax.jit(maps_for_pose)
-        per_pose = [
-            maps_jit(uniq_poses[i], scan_verts_j, scan_faces_j,
-                     scan_face_uvs_j, scan_texture_j, smpl_verts,
-                     smpl_faces, smpl_face_uvs)
-            for i in range(uniq_poses.shape[0])
+        # chunked lax.map over poses (see TextureFitConfig.map_chunk).
+        # The last chunk pads with repeats of the final pose so every
+        # chunk compiles to the same program.
+        chunk = max(1, min(config.map_chunk, uniq_poses.shape[0]))
+        n_chunks = -(-uniq_poses.shape[0] // chunk)
+        pad = n_chunks * chunk - uniq_poses.shape[0]
+        padded = jnp.concatenate(
+            [uniq_poses, jnp.repeat(uniq_poses[-1:], pad, axis=0)]
+        ) if pad else uniq_poses
+
+        maps_jit = jax.jit(
+            lambda poses, *scene: jax.lax.map(
+                lambda w2c: maps_for_pose(w2c, *scene), poses
+            )
+        )
+        scene = (scan_verts_j, scan_faces_j, scan_face_uvs_j,
+                 scan_texture_j, smpl_verts, smpl_faces, smpl_face_uvs)
+        chunks = [
+            maps_jit(padded[i * chunk:(i + 1) * chunk], *scene)
+            for i in range(n_chunks)
         ]
+        scan_imgs, uv_maps, fgs = (
+            jnp.concatenate([c[k] for c in chunks])[:uniq_poses.shape[0]]
+            for k in range(3)
+        )
 
         if config.bucketed_uv:
             # One-hot MXU sampling plans, built ON DEVICE in one vmapped
@@ -338,9 +363,6 @@ def fit_texture(
             # ~110 unique poses and sank this path, BENCH_NOTES.md).
             # Each Adam step is then two dense matmuls per work item with
             # the same loss value as the gather path.
-            scan_imgs, uv_maps, fgs = (
-                jnp.stack([m[k] for m in per_pose]) for k in range(3)
-            )
             build = jax.jit(jax.vmap(
                 lambda um, fg, si: uvs.build_uv_sample_plan_device(
                     um, fg, si, S, background=1.0,
@@ -357,10 +379,6 @@ def fit_texture(
 
             return _adam_scan(tx, plan_loss, init_texture, stacked,
                               pose_index)
-
-        scan_imgs, uv_maps, fgs = (
-            jnp.stack([m[k] for m in per_pose]) for k in range(3)
-        )
 
         def maps_loss(t, idx, maps):
             scan_imgs_, uv_maps_, fgs_ = maps
