@@ -48,9 +48,10 @@ class TextureFitConfig:
     # (ops/uv_sample.py, plans built on device) — 3.8 ms/iter vs the
     # re-raster path's ~93 ms/iter, same loss values (pinned by
     # tests/test_texture_precompute.py).  At the reference schedule (~64%
-    # unique poses) the 200-iter texfit measures 22s warm vs re-raster's
-    # 28s; schedules that revisit poses compound the win.  Set
-    # precompute=False to re-render every iteration like the reference.
+    # unique poses) the 200-iter texfit measures 18-19s warm vs
+    # re-raster's 28-41s (tunnel-session spread); schedules that revisit
+    # poses compound the win.  Set precompute=False to re-render every
+    # iteration like the reference.
     precompute: bool = True
     # precompute mode only: False falls back to gather-based sampling of
     # the cached UV maps (same values; ~6x slower iterations)
