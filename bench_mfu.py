@@ -266,10 +266,8 @@ def bench_texfit(iters):
             window_rows=cfg.uv_window_rows,
         )
     ))
-    stacked = uvs.trim_plan(
-        build(uv_maps, fgs, scan_imgs),
-        uvs.used_items(build(uv_maps, fgs, scan_imgs)),
-    )
+    plans = build(uv_maps, fgs, scan_imgs)
+    stacked = uvs.trim_plan(plans, uvs.used_items(plans))
     pose_idx = jnp.asarray(pose_index.astype(np.int32))
 
     def run_bucketed(tex0, stacked_, xs):

@@ -290,17 +290,22 @@ class Runner:
         # is persisted under output_dir and those 40 PNG decodes — the
         # dominant per-view host cost once keypoint JSONs are cached —
         # are skipped on every later run with bit-identical results.
-        # Sentinels: row -1 = not cached, -2 = view unusable (empty mask).
+        # Rows are (status, top, left, bottom, right) with status 0 = not
+        # cached, 1 = bbox valid, 2 = view unusable (empty mask) — a
+        # dedicated column because bbox coordinates can legitimately be
+        # negative (mask_square_bbox slides top to h - size when the
+        # padded square outgrows the image), so coordinate sentinels
+        # would collide.
         cache_path = os.path.join(
             self.output_dir, "%06d" % frame, "bbox_cache.npy"
         )
         bbox_cache = None
         if self.args.io_cache and os.path.exists(cache_path):
             c = np.load(cache_path)
-            if c.shape == (48, 4):
+            if c.shape == (48, 5):
                 bbox_cache = c.astype(np.int64)
         new_cache = (
-            np.full((48, 4), -1, np.int64)
+            np.zeros((48, 5), np.int64)
             if bbox_cache is None else bbox_cache.copy()
         )
 
@@ -324,16 +329,16 @@ class Runner:
                 bbox_cache[view]
                 if bbox_cache is not None and view < 48 else None
             )
-            json_cached_ = os.path.exists(
+            json_cached = os.path.exists(
                 os.path.join(op_dir, "%02d_keypoints.json" % view)
             )
             need_mask = (
-                cached is None or cached[0] == -1
+                cached is None or cached[0] == 0
                 or (view in self.mask_frames and self.args.use_mask)
                 # the image branch composites through the mask
-                or not json_cached_ or view == hmr_view or self.args.debug
+                or not json_cached or view == hmr_view or self.args.debug
             )
-            if cached is not None and cached[0] == -2:
+            if cached is not None and cached[0] == 2:
                 return None             # cached empty-mask verdict
             if need_mask:
                 msk = imread_checked(os.path.join(
@@ -344,17 +349,14 @@ class Runner:
                     msk = msk[..., 0]
                 if not msk.any():       # empty mask -> view unusable
                     if view < 48:
-                        new_cache[view] = -2
+                        new_cache[view] = (2, 0, 0, 0, 0)
                     return None
                 bbox = mask_square_bbox(msk)
                 if view < 48:
-                    new_cache[view] = bbox
+                    new_cache[view] = (1,) + tuple(bbox)
             else:
                 msk = None
-                bbox = tuple(int(v) for v in cached)
-            json_cached = os.path.exists(
-                os.path.join(op_dir, "%02d_keypoints.json" % view)
-            )
+                bbox = tuple(int(v) for v in cached[1:])
             if not json_cached or view == hmr_view or self.args.debug:
                 img = imread_checked(os.path.join(
                     self.target_dir, "image", "%02d" % view,

@@ -342,13 +342,15 @@ class Runner:
 
     def _load_cached_fit(self, subject):
         """The smplify stage's written parameter dict, or None."""
+        from bodyfitting_tpu.io import params as io_params
+
         param = os.path.join(
             self.output_dir, subject, "smplify",
-            f"{self.args.smpl_type}_parameter.npy",
+            io_params.param_filename(self.args.smpl_type),
         )
         if not os.path.exists(param):
             return None
-        return np.load(param, allow_pickle=True).item()
+        return io_params.load_params(param)
 
     def _prepare_scan(self, subject, meshfile):
         """Host-side prep for one scan (obj load, view render/IO, openpose)

@@ -29,6 +29,11 @@ def to_numpy_result(result: dict, faces) -> dict:
     return out
 
 
+def param_filename(smpl_type: str) -> str:
+    """The per-fit parameter file name (single owner of the pattern)."""
+    return f"{smpl_type}_parameter.npy"
+
+
 def save_params(path: str, result: dict) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.save(path, result, allow_pickle=True)
@@ -52,7 +57,7 @@ def save_fit_outputs(
     os.makedirs(output_dir, exist_ok=True)
     np_result = to_numpy_result(result, faces)
     save_params(
-        os.path.join(output_dir, f"{smpl_type}_parameter.npy"), np_result
+        os.path.join(output_dir, param_filename(smpl_type)), np_result
     )
     save_obj(
         os.path.join(output_dir, f"{smpl_type}.obj"),

@@ -182,7 +182,13 @@ def assemble_people(all_peaks, paf_avg, img_h, thre2: float = 0.05,
     instead of CMU's growing score matrix; behaviour is identical,
     including the quirks: a draft matched only through its B-endpoint
     never gains the link's A-endpoint, and overlapping drafts absorb the
-    B-endpoint into the first draft unconditionally.
+    B-endpoint into the first draft unconditionally.  One deliberate
+    divergence: when a link matches >= 3 drafts (possible because the
+    overlap branch lets two drafts share a B-endpoint) the vendored
+    reference *raises IndexError* (``subset_idx[found]`` with
+    ``found == 2`` on a 2-slot list, body.py:202-205); here the first
+    two drafts in insertion order are handled exactly as the found==2
+    branch and the rest are left untouched.
 
     Output contract (what the downstream JSON writer and tests consume):
     ``candidate`` rows are ``(x, y, score, id)`` peaks; ``subset`` rows are

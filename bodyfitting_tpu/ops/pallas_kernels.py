@@ -718,8 +718,8 @@ def make_fused_skinning(
 
 
 def _contour_match_kernel(c_ref, p_ref, d2_ref, idx_ref):
-    j = pl.program_id(0)
-    mb = p_ref.shape[1]
+    j = pl.program_id(1)                # minor: m-blocks sweep while the
+    mb = p_ref.shape[1]                 # same P-block's minima stay resident
 
     @pl.when(j == 0)
     def _():
@@ -765,12 +765,19 @@ def contour_min_idx(
     distances through a gather, reference loss.py:240 semantics).
     """
     P, M = contour.shape[0], proj.shape[0]
-    ppad = _cdiv(P, 8) * 8 - P
-    # the kernel materializes ~3 [P, point_block] f32 transients
-    # (dx, dy, d2); keep them ~<= 12 MB of the 16 MB VMEM so long raw
-    # contours (P = 4096 before resampling) still compile
-    budget = max(128, (1_000_000 // max(P + ppad, 1)) // 128 * 128)
-    point_block = min(point_block, budget)
+    ppad8 = _cdiv(P, 8) * 8
+    # the kernel materializes ~3 [p_block, point_block] f32 transients
+    # (dx, dy, d2); keep p_block * point_block <= ~1M f32 (~12 MB of the
+    # 16 MB VMEM).  Shrink point_block first (long raw contours, P = 4096
+    # before resampling); once point_block floors at one 128-lane tile,
+    # block the P axis too so arbitrarily long contours still compile
+    # (a [16384, 128] block trio alone would be 25 MB).
+    point_block = min(
+        point_block, max(128, (1_000_000 // ppad8) // 128 * 128)
+    )
+    p_block = min(ppad8, max(8, (1_000_000 // point_block) // 8 * 8))
+    pb = _cdiv(ppad8, p_block)
+    ppad = pb * p_block - P
     mb = _cdiv(M, point_block)
     mpad = mb * point_block - M
 
@@ -789,22 +796,22 @@ def contour_min_idx(
 
     d2, idx = pl.pallas_call(
         _contour_match_kernel,
-        grid=(mb,),
+        grid=(pb, mb),
         in_specs=[
-            pl.BlockSpec((P + ppad, 2), lambda j: (0, 0),
+            pl.BlockSpec((p_block, 2), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, point_block), lambda j: (0, j),
+            pl.BlockSpec((3, point_block), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((P + ppad, 1), lambda j: (0, 0),
+            pl.BlockSpec((p_block, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P + ppad, 1), lambda j: (0, 0),
+            pl.BlockSpec((p_block, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((P + ppad, 1), contour.dtype),
-            jax.ShapeDtypeStruct((P + ppad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((pb * p_block, 1), contour.dtype),
+            jax.ShapeDtypeStruct((pb * p_block, 1), jnp.int32),
         ],
         interpret=interpret,
     )(cpad, soa)

@@ -101,6 +101,31 @@ def test_contour_min_idx_matches_xla(rng):
     )
 
 
+def test_contour_min_idx_long_contour_p_blocked(rng):
+    """P long enough that the VMEM budget blocks the contour axis too
+    (p_block < P): the (pb, mb) grid must reproduce the masked argmin."""
+    P, M = 9000, 300     # point_block floors at 128 -> p_block 7808, pb 2
+    contour = jnp.asarray(
+        rng.uniform(0, 2048, size=(P, 2)).astype(np.float32)
+    )
+    proj = jnp.asarray(
+        rng.uniform(0, 2048, size=(M, 2)).astype(np.float32)
+    )
+    valid = jnp.asarray((rng.uniform(size=(M,)) > 0.3).astype(np.float32))
+
+    d2_ref = jnp.sum((contour[:, None, :] - proj[None, :, :]) ** 2, -1)
+    d2_ref = jnp.where(valid[None, :] > 0, d2_ref, 1e30)
+    idx_ref = jnp.argmin(d2_ref, axis=1)
+
+    d2, idx = pk.contour_min_idx(
+        contour, proj, valid, point_block=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_allclose(
+        np.asarray(d2), np.asarray(jnp.min(d2_ref, axis=1)), rtol=1e-6
+    )
+
+
 def test_contour_min_idx_all_invalid(rng):
     contour = jnp.asarray(rng.uniform(0, 64, size=(9, 2)).astype(np.float32))
     proj = jnp.asarray(rng.uniform(0, 64, size=(17, 2)).astype(np.float32))
