@@ -425,7 +425,7 @@ def disp_step_parity(model, extras, constant_scale, bv, disp):
 
 def run_parity(num_verts=10475, n_views=48, num_iters=600, seed=0,
                dtype_str="f32", fit_config="kp", imsize=512.0,
-               n_mask_views=8, contour_points=512):
+               n_mask_views=8, contour_points=512, self_scatter=False):
     """Run both engines on identical inputs; return the comparison report."""
     model, w2cs, Ks, keypoints, cscale, extras = make_inputs(
         num_verts, n_views, seed, dtype_str, fit_config=fit_config,
@@ -582,6 +582,34 @@ def run_parity(num_verts=10475, n_views=48, num_iters=600, seed=0,
         report["cross_surface_dev_mm"] = float(
             0.5 * (to_surface(deformed_j, deformed_t, mf).mean()
                    + to_surface(deformed_t, deformed_j, mf).mean())) * mm
+
+        if self_scatter:
+            # The problem's intrinsic run-to-run spread, measured the
+            # same way as the mask config: re-run the TORCH engine
+            # against itself from a 1-ulp-perturbed init and apply every
+            # outcome metric above to the pair.  Doubles the torch wall
+            # (hours at the published scale) — opt-in via --self_scatter.
+            torch_res_b = run_torch_fit(
+                model, w2cs, Ks, keypoints, cscale, num_iters, gmm,
+                extras, fit_config, imsize, init_perturb=1e-12,
+            )
+            sd = np.linalg.norm(
+                torch_res_b["vertices"] - torch_res["vertices"], axis=-1
+            )
+            report["torch_self_scatter_mm"] = float(sd.mean()) * mm
+            dd_s = np.linalg.norm(
+                torch_res_b["displacement"] - torch_res["displacement"],
+                axis=-1,
+            )
+            report["disp_self_scatter_mm"] = float(dd_s.mean()) * mm
+            deformed_b = torch_res_b["vertices"] \
+                + torch_res_b["displacement"]
+            report["scan_residual_torch_b_mm"] = float(
+                to_surface(deformed_b, sv, sf).mean()) * mm
+            report["cross_surface_self_mm"] = float(
+                0.5 * (to_surface(deformed_t, deformed_b, mf).mean()
+                       + to_surface(deformed_b, deformed_t, mf).mean())
+            ) * mm
     return report
 
 
@@ -735,6 +763,17 @@ def write_parity_staged_md(report):
             f" {rows[c]['mean_disp_dev_mm']:.2f} |"
             if "mean_disp_dev_mm" in rows[c] else " n/a |"
             for c in order),
+        "| disp stage: torch-vs-torch field self-scatter under 1-ulp "
+        "init (mm) |" + "".join(
+            f" {rows[c]['disp_self_scatter_mm']:.2f} |"
+            if "disp_self_scatter_mm" in rows[c] else " n/a |"
+            for c in order),
+        "| disp stage: torch-vs-torch surface self-deviation / scan "
+        "residual of the rerun (mm) |" + "".join(
+            (f" {rows[c]['cross_surface_self_mm']:.3f} / "
+             f"{rows[c]['scan_residual_torch_b_mm']:.3f} |")
+            if "cross_surface_self_mm" in rows[c] else " n/a |"
+            for c in order),
         "| torch / JAX-CPU wall (s) |" + "".join(
             f" {rows[c]['torch_wall_s']:.0f} / "
             f"{rows[c]['jax_cpu_wall_s']:.0f} |" for c in order),
@@ -798,6 +837,11 @@ def main():
     ap.add_argument("--imsize", type=float, default=None)
     ap.add_argument("--n_mask_views", type=int, default=None)
     ap.add_argument("--contour_points", type=int, default=None)
+    ap.add_argument("--self_scatter", action="store_true",
+                    help="smpld: also re-run the torch engine from a "
+                         "1-ulp-perturbed init to measure the problem's "
+                         "intrinsic run-to-run spread (doubles the torch "
+                         "wall — hours at the published scale)")
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f64",
                     help="f64 isolates engine parity from float-trajectory "
                          "sensitivity (the descent is chaotic in f32)")
@@ -831,7 +875,8 @@ def main():
     cp = args.contour_points or cp
 
     reports = [run_parity(nv, vw, it, dtype_str=args.dtype, fit_config=cfg,
-                          imsize=ims, n_mask_views=nmv, contour_points=cp)]
+                          imsize=ims, n_mask_views=nmv, contour_points=cp,
+                          self_scatter=args.self_scatter)]
     print(json.dumps(reports[0], indent=2), file=sys.stderr)
     if not args.quick and args.dtype == "f64" and cfg == "kp":
         # Companion float32 row (the problem's trajectory sensitivity) in a
@@ -876,14 +921,33 @@ def main():
             < 3.0 * report["torch_self_scatter_mm"] + 1.0
         )
     elif cfg == "smpld":
+        # Well-defined equivalences: machine-precision shared-state
+        # stage-2 loss/grad always; the outcome metrics are gated against
+        # the problem's measured intrinsic spread when --self_scatter ran
+        # (the body stage sees the mesh ICP term past the gate, so its
+        # trajectories are chaotic exactly like the mask config's).
         ok = (
-            report["mean_vertex_dev_mm"] <= 1.0        # body stage locks
-            and report["disp_step_loss_rel"] < 1e-10
+            report["disp_step_loss_rel"] < 1e-10
             and report["disp_step_grad_max_abs"] < 1e-8
-            and abs(report["scan_residual_jax_mm"]
-                    - report["scan_residual_torch_mm"])
-            < 0.15 * report["scan_residual_torch_mm"] + 1e-3
         )
+        if "torch_self_scatter_mm" in report:
+            spread = report["torch_self_scatter_mm"]
+            resid_spread = abs(report["scan_residual_torch_b_mm"]
+                               - report["scan_residual_torch_mm"])
+            ok = ok and (
+                report["mean_vertex_dev_mm"] < 3.0 * spread + 1.0
+                and abs(report["scan_residual_jax_mm"]
+                        - report["scan_residual_torch_mm"])
+                < 3.0 * resid_spread
+                + 0.15 * report["scan_residual_torch_mm"] + 1e-3
+            )
+        else:
+            ok = ok and (
+                report["mean_vertex_dev_mm"] <= 1.0
+                and abs(report["scan_residual_jax_mm"]
+                        - report["scan_residual_torch_mm"])
+                < 0.15 * report["scan_residual_torch_mm"] + 1e-3
+            )
     else:
         ok = report["mean_vertex_dev_mm"] <= 1.0
     print(json.dumps({
