@@ -806,7 +806,15 @@ def write_parity_staged_md(report):
         "precision; (c) converged fits are geometrically equivalent "
         "(keypoint RMS, contour residual, scan residual, cross-engine "
         "surface deviation) and the cross-engine spread matches the "
-        "problem's intrinsic run-to-run spread.",
+        "problem's intrinsic run-to-run spread.  For the SMPL+D config "
+        "the `--self_scatter` rows measure that intrinsic spread "
+        "directly — torch against itself from a 1-ulp-perturbed init: "
+        "the displacement *field* scatters by the same tens of mm as the "
+        "cross-engine comparison (per-vertex ICP slides tangentially, "
+        "the field is not unique) while both runs' deformed surfaces "
+        "land on the scan equally well, and the torch-vs-torch surface "
+        "self-deviation is the yardstick the torch-vs-jax deviation is "
+        "judged against.",
         "",
     ]
     path = os.path.join(os.path.dirname(__file__), "PARITY.md")
