@@ -267,6 +267,10 @@ def main():
     def want(label):
         return cli.only is None or label in cli.only
 
+    # One generator shared across configs: earlier configs consume draws,
+    # so `--only 5b` sees DIFFERENT inputs (hence different final losses)
+    # than a full run — compare rates/walls across invocations, never the
+    # printed loss values.
     rng = np.random.default_rng(0)
     prior = synthetic_gmm_prior()
     iters = 100
