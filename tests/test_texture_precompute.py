@@ -62,3 +62,32 @@ def test_bucketed_equals_gather_precompute():
     np.testing.assert_allclose(
         np.asarray(tex_b), np.asarray(tex_g), atol=1e-4
     )
+
+
+def test_map_chunk_padding_invariant():
+    """Chunked lax.map map-builds (incl. a padded final chunk) produce the
+    same fit as one whole-schedule chunk: map_chunk only changes program
+    shape, never values."""
+    verts, faces, face_uvs = _unit_quad()
+    S = 16
+    target = np.zeros((S, S, 3), np.float32)
+    target[:, : S // 2] = [0.2, 0.8, 0.3]
+    target[:, S // 2:] = [0.7, 0.2, 0.6]
+
+    base = dict(
+        tex_img_size=S, render_img_size=32, iter_num=40, lr=5e-2,
+        round_views=4, round_view_iters=5, face_block=4, precompute=True,
+    )
+    # the 40-iter schedule has ~24 unique poses: map_chunk=7 forces 4
+    # chunks with a padded tail; map_chunk=64 clamps to one whole chunk
+    tex_a, losses_a = tf.fit_texture(
+        verts, faces, face_uvs, verts, faces, face_uvs, target,
+        tf.TextureFitConfig(map_chunk=7, **base),
+    )
+    tex_b, losses_b = tf.fit_texture(
+        verts, faces, face_uvs, verts, faces, face_uvs, target,
+        tf.TextureFitConfig(map_chunk=64, **base),
+    )
+    np.testing.assert_array_equal(np.asarray(losses_a),
+                                  np.asarray(losses_b))
+    np.testing.assert_array_equal(np.asarray(tex_a), np.asarray(tex_b))
