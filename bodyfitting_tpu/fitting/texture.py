@@ -21,6 +21,7 @@ Re-design of the reference's TextureFitting
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -233,17 +234,60 @@ def render_scan_views(
 # ---------------------------------------------------------------------------
 
 
-def _adam_scan(tx, loss_of, tex0, aux, xs):
+def _plan_loss(t, idx, stacked, *_static):
+    """Bucketed one-hot sampling loss for pose ``idx`` of a stacked plan."""
+    return uvs.plan_l1_loss(t, uvs.index_plan(stacked, idx))
+
+
+def _maps_loss(t, idx, maps, *_static):
+    """Gather-based sampling loss from cached per-pose UV maps."""
+    scan_imgs, uv_maps, fgs = maps
+    smpl_img = rz.sample_texture_uvmap(
+        uv_maps[idx], fgs[idx], t, background=1.0
+    )
+    return jnp.sum(jnp.abs(scan_imgs[idx] - smpl_img))
+
+
+def _reraster_loss(t, w2c, aux, img_size, face_block):
+    """Reference per-iteration behaviour: re-render both meshes."""
+    (K, smpl_v, smpl_f, smpl_uv, scan_v, scan_f, scan_uv, scan_t) = aux
+    scan_img, _ = render_textured(
+        scan_v, scan_f, scan_uv, scan_t, w2c, K, img_size, face_block,
+    )
+    scan_img = jax.lax.stop_gradient(scan_img)
+    smpl_img, _ = render_textured(
+        smpl_v, smpl_f, smpl_uv, t, w2c, K, img_size, face_block,
+    )
+    return jnp.sum(jnp.abs(scan_img - smpl_img))
+
+
+def _adam_scan(lr, loss_fn, tex0, aux, xs, static=()):
     """Shared texture Adam loop: scan over ``xs``, clip texture to [0,1].
 
     All three fit_texture variants (bucketed plans, gather maps,
-    re-raster) differ only in ``loss_of(tex, x, aux)``; keeping one step
-    body here keeps them iteration-for-iteration comparable (pinned by
-    tests/test_texture_precompute.py).  ``aux``/``xs`` ride as jit
-    arguments, never closures (a closed-over production scan would embed
-    tens of MB of constants — the remote-compile tunnel rejects huge
-    programs, CLAUDE.md).
+    re-raster) differ only in ``loss_fn(tex, x, aux, *static)``; keeping
+    one step body here keeps them iteration-for-iteration comparable
+    (pinned by tests/test_texture_precompute.py).  ``aux``/``xs`` ride as
+    jit arguments, never closures (a closed-over production scan would
+    embed tens of MB of constants — the remote-compile tunnel rejects
+    huge programs, CLAUDE.md).
     """
+    return _adam_scan_program(lr, loss_fn, static)(tex0, aux, xs)
+
+
+@functools.lru_cache(maxsize=None)
+def _adam_scan_program(lr, loss_fn, static):
+    """One jitted Adam-scan program per (lr, module-level loss) pair.
+
+    fit_texture used to build a fresh ``jax.jit`` closure per call, so
+    every fit in a process re-traced and re-looked-up the compiled scan
+    (seconds of wall through the remote-compile tunnel even on cache
+    hits).  Keying the program on hashables — the learning rate, a
+    module-level loss function, and its static config — makes repeat
+    fits (the production pattern: one process fitting many scans) true
+    warm runs.
+    """
+    tx = optax.adam(lr)
 
     @jax.jit
     def run(tex0, aux, xs):
@@ -252,7 +296,7 @@ def _adam_scan(tx, loss_of, tex0, aux, xs):
         def step(carry, x):
             tex, opt_state = carry
             loss, grads = jax.value_and_grad(
-                lambda t: loss_of(t, x, aux)
+                lambda t: loss_fn(t, x, aux, *static)
             )(tex)
             updates, opt_state = tx.update(grads, opt_state, tex)
             tex = optax.apply_updates(tex, updates)
@@ -261,7 +305,7 @@ def _adam_scan(tx, loss_of, tex0, aux, xs):
         (tex, _), losses = jax.lax.scan(step, (tex0, opt_state), xs)
         return tex, losses
 
-    return run(tex0, aux, xs)
+    return run
 
 
 def fit_texture(
@@ -297,8 +341,6 @@ def fit_texture(
     scan_face_uvs_j = jnp.asarray(scan_face_uvs)
     scan_texture_j = jnp.asarray(scan_texture)
 
-    tx = optax.adam(config.lr)
-
     if config.precompute:
         # Deduplicate the schedule (the round phase revisits each ring
         # camera round_view_iters times), rasterize each unique pose once.
@@ -311,25 +353,6 @@ def fit_texture(
         )
         pose_index = jnp.asarray(pose_index.astype(np.int32))
 
-        def maps_for_pose(w2c, scan_v, scan_f, scan_uv, scan_t,
-                          smpl_v, smpl_f, smpl_uv):
-            # scene arrays are jit arguments, not closures (a closed-over
-            # production scan would embed tens of MB of constants — the
-            # remote-compile tunnel rejects huge programs, CLAUDE.md)
-            from bodyfitting_tpu.ops.pallas_kernels import auto_rasterize
-
-            scan_img, _ = render_textured(
-                scan_v, scan_f, scan_uv, scan_t, w2c, K,
-                config.render_img_size, config.face_block,
-            )
-            px, fz = rz.project_faces(smpl_v, smpl_f, w2c, K)
-            raster = auto_rasterize(
-                px, fz, config.render_img_size,
-                face_block=config.face_block,
-            )
-            uv_map = rz.interpolate_uvs(raster, smpl_uv)
-            return scan_img, uv_map, raster.face_idx >= 0
-
         # chunked lax.map over poses (see TextureFitConfig.map_chunk).
         # The last chunk pads with repeats of the final pose so every
         # chunk compiles to the same program.
@@ -340,15 +363,11 @@ def fit_texture(
             [uniq_poses, jnp.repeat(uniq_poses[-1:], pad, axis=0)]
         ) if pad else uniq_poses
 
-        maps_jit = jax.jit(
-            lambda poses, *scene: jax.lax.map(
-                lambda w2c: maps_for_pose(w2c, *scene), poses
-            )
-        )
+        maps_jit = _maps_program(config.render_img_size, config.face_block)
         scene = (scan_verts_j, scan_faces_j, scan_face_uvs_j,
                  scan_texture_j, smpl_verts, smpl_faces, smpl_face_uvs)
         chunks = [
-            maps_jit(padded[i * chunk:(i + 1) * chunk], *scene)
+            maps_jit(padded[i * chunk:(i + 1) * chunk], K, *scene)
             for i in range(n_chunks)
         ]
         scan_imgs, uv_maps, fgs = (
@@ -364,54 +383,75 @@ def fit_texture(
             # ~110 unique poses and sank this path, BENCH_NOTES.md).
             # Each Adam step is then two dense matmuls per work item with
             # the same loss value as the gather path.
-            build = jax.jit(jax.vmap(
-                lambda um, fg, si: uvs.build_uv_sample_plan_device(
-                    um, fg, si, S, background=1.0,
-                    chunk=config.uv_chunk,
-                    window_rows=config.uv_window_rows,
-                )
-            ))
+            build = _plan_build_program(
+                S, config.uv_chunk, config.uv_window_rows
+            )
             stacked = build(uv_maps, fgs, scan_imgs)
             # drop the static item-cap padding (one small host sync)
             stacked = uvs.trim_plan(stacked, uvs.used_items(stacked))
 
-            def plan_loss(t, idx, stacked_):
-                return uvs.plan_l1_loss(t, uvs.index_plan(stacked_, idx))
+            return _adam_scan(config.lr, _plan_loss, init_texture,
+                              stacked, pose_index)
 
-            return _adam_scan(tx, plan_loss, init_texture, stacked,
-                              pose_index)
-
-        def maps_loss(t, idx, maps):
-            scan_imgs_, uv_maps_, fgs_ = maps
-            smpl_img = rz.sample_texture_uvmap(
-                uv_maps_[idx], fgs_[idx], t, background=1.0
-            )
-            return jnp.sum(jnp.abs(scan_imgs_[idx] - smpl_img))
-
-        return _adam_scan(tx, maps_loss, init_texture,
+        return _adam_scan(config.lr, _maps_loss, init_texture,
                           (scan_imgs, uv_maps, fgs), pose_index)
 
     poses = jnp.asarray(poses_np)
-
-    def reraster_loss(t, w2c, scene):
-        (smpl_v, smpl_f, smpl_uv, scan_v, scan_f, scan_uv, scan_t) = scene
-        scan_img, _ = render_textured(
-            scan_v, scan_f, scan_uv, scan_t,
-            w2c, K, config.render_img_size, config.face_block,
-        )
-        scan_img = jax.lax.stop_gradient(scan_img)
-        smpl_img, _ = render_textured(
-            smpl_v, smpl_f, smpl_uv, t, w2c, K,
-            config.render_img_size, config.face_block,
-        )
-        return jnp.sum(jnp.abs(scan_img - smpl_img))
-
     return _adam_scan(
-        tx, reraster_loss, init_texture,
-        (smpl_verts, smpl_faces, smpl_face_uvs,
+        config.lr, _reraster_loss, init_texture,
+        (K, smpl_verts, smpl_faces, smpl_face_uvs,
          scan_verts_j, scan_faces_j, scan_face_uvs_j, scan_texture_j),
         poses,
+        static=(config.render_img_size, config.face_block),
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _maps_program(img_size: int, face_block: int):
+    """Jitted chunked unique-pose map build, cached per static config.
+
+    Both rasters run the FUSED attr kernel (per-pixel UVs interpolated
+    inside the z-buffer sweep, ops/pallas_kernels.rasterize_attrs_pallas):
+    the old raster -> bary post-pass -> face_uvs[idx] chain cost ~5
+    per-element 262k-row gathers per pose — most of the map build's
+    ~57 ms/pose (bench_texfit_maps.py: 24 ms/pose fused).  Scene arrays
+    are jit arguments, not closures (a closed-over production scan would
+    embed tens of MB of constants — the remote-compile tunnel rejects
+    huge programs, CLAUDE.md).
+    """
+    from bodyfitting_tpu.ops.pallas_kernels import auto_rasterize_attrs
+
+    def maps_for_pose(w2c, K, scan_v, scan_f, scan_uv, scan_t,
+                      smpl_v, smpl_f, smpl_uv):
+        s_px, s_fz = rz.project_faces(scan_v, scan_f, w2c, K)
+        s_uv, s_fidx, _ = auto_rasterize_attrs(
+            s_px, s_fz, scan_uv, img_size, face_block=face_block
+        )
+        scan_img = rz.sample_texture_uvmap(
+            s_uv, s_fidx >= 0, scan_t, background=1.0
+        )
+        px, fz = rz.project_faces(smpl_v, smpl_f, w2c, K)
+        uv_map, fidx, _ = auto_rasterize_attrs(
+            px, fz, smpl_uv, img_size, face_block=face_block
+        )
+        return scan_img, uv_map, fidx >= 0
+
+    return jax.jit(
+        lambda poses, K, *scene: jax.lax.map(
+            lambda w2c: maps_for_pose(w2c, K, *scene), poses
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _plan_build_program(tex_size: int, chunk: int, window_rows: int):
+    """Jitted vmapped device plan build, cached per static config."""
+    return jax.jit(jax.vmap(
+        lambda um, fg, si: uvs.build_uv_sample_plan_device(
+            um, fg, si, tex_size, background=1.0,
+            chunk=chunk, window_rows=window_rows,
+        )
+    ))
 
 
 def atlas_coverage_mask(

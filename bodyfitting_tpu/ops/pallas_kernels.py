@@ -511,6 +511,256 @@ def auto_rasterize(face_px, face_z, image_size, face_block: int = 256):
     return rasterize(face_px, face_z, image_size, face_block=face_block)
 
 
+# ---------------------------------------------------------------------------
+# Fused z-buffer + attribute interpolation
+# ---------------------------------------------------------------------------
+#
+# The texture-fit map builds (fitting/texture.py) used to run the z-buffer
+# kernel and then recover per-pixel UVs with three post-pass gathers
+# (winning-face px/z for barycentrics + face_uvs[idx]) — per-element
+# 262k-row gathers, the known slow TPU lowering (BENCH_NOTES.md).  This
+# kernel interpolates per-corner attributes INSIDE the sweep: the face
+# block's attribute rows are already VMEM-resident, the winning face is
+# selected with a dense one-hot multiply-reduce (no gather), and the
+# perspective-correct weights reuse the depth math (pc_k = w_k * iz_k *
+# depth).  Replaces the rasterize->interpolate path of the reference's
+# NMR texture sampling (rasterize_cuda_kernel.cu:70-169 + the per-pixel
+# weight recompute at 171-244) for static-geometry texture fitting.
+
+
+def _raster_attr_kernel(tile_y_ref, blk_y_ref, pix_x_ref, pix_y_ref,
+                        face_ref, depth_ref, fidx_ref, attr_ref, *,
+                        n_attr):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    fb = face_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        depth_ref[:] = jnp.full_like(depth_ref, _FAR)
+        fidx_ref[:] = jnp.full_like(fidx_ref, -1)
+        attr_ref[:] = jnp.zeros_like(attr_ref)
+
+    overlap = (blk_y_ref[j, 0] <= tile_y_ref[i, 1]) & (
+        blk_y_ref[j, 1] >= tile_y_ref[i, 0]
+    )
+
+    @pl.when(overlap)
+    def _body():
+        px = pix_x_ref[:, 0:1]                            # [TP, 1]
+        py = pix_y_ref[:, 0:1]
+
+        ax, ay = face_ref[0:1, :], face_ref[1:2, :]
+        bx, by = face_ref[2:3, :], face_ref[3:4, :]
+        cx, cy = face_ref[4:5, :], face_ref[5:6, :]
+        iz0, iz1, iz2 = (face_ref[6:7, :], face_ref[7:8, :],
+                         face_ref[8:9, :])
+        valid = face_ref[9:10, :] > 0.5
+
+        e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)  # [TP, FB]
+        e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+        e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+        inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | (
+            (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
+        )
+        denom = jnp.where(jnp.abs(area) > 1e-9, area, 1.0)
+        wiz0 = (e0 / denom) * iz0                         # w_k * (1/z_k)
+        wiz1 = (e1 / denom) * iz1
+        wiz2 = (e2 / denom) * iz2
+        inv_z = wiz0 + wiz1 + wiz2
+        depth = 1.0 / jnp.maximum(inv_z, 1.0 / _FAR)
+        ok = inside & valid & (jnp.abs(area) > 1e-9)
+        depth = jnp.where(ok, depth, _FAR)
+
+        arg = jnp.argmin(depth, axis=1)                   # [TP]
+        dmin = jnp.min(depth, axis=1)
+        cur = depth_ref[:, 0]
+        better = dmin < cur
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, depth.shape, 1)
+            == arg[:, None]
+        )
+        # perspective-correct interpolation, winner selected by a dense
+        # masked reduce (pc_k = wiz_k * depth; sum_k pc_k == 1 up to
+        # rounding for real winners)
+        cols = []
+        for c in range(n_attr):
+            a0 = face_ref[10 + c:11 + c, :]
+            a1 = face_ref[10 + n_attr + c:11 + n_attr + c, :]
+            a2 = face_ref[10 + 2 * n_attr + c:11 + 2 * n_attr + c, :]
+            interp = wiz0 * a0 + wiz1 * a1 + wiz2 * a2    # [TP, FB]
+            cols.append(
+                (jnp.sum(jnp.where(onehot, interp, 0.0), axis=1)
+                 * dmin)[:, None]
+            )
+        vals = jnp.concatenate(cols, axis=1)              # [TP, A]
+        won = better & (dmin < _FAR)
+        attr_ref[:] = jnp.where(won[:, None], vals, attr_ref[:])
+        depth_ref[:, 0] = jnp.where(better, dmin, cur)
+        fidx_ref[:, 0] = jnp.where(
+            better, j * fb + arg.astype(jnp.int32), fidx_ref[:, 0]
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "pixel_tile", "face_block",
+                              "interpret", "remap_faces")
+)
+def rasterize_attrs_pallas(
+    face_px: jax.Array,
+    face_z: jax.Array,
+    face_attrs: jax.Array,
+    image_size: int,
+    pixel_tile: int = 1024,
+    face_block: int = 512,
+    interpret: bool = False,
+    remap_faces: bool = False,
+):
+    """Fused z-buffer + perspective-correct attribute interpolation.
+
+    Args:
+      face_px: ``[F, 3, 2]`` screen coords; face_z ``[F, 3]`` camera z.
+      face_attrs: ``[F, 3, A]`` per-corner attributes (e.g. UVs, A=2).
+      remap_faces: map ``face_idx`` back to caller face numbering (one
+        per-pixel gather); leave False when only coverage is needed.
+    Returns ``(attrs [H, W, A], face_idx [H, W], depth [H, W])`` with
+    attrs == 0 and face_idx == -1 at background pixels.  Matches
+    ``rasterize`` + ``render_attributes`` up to ~1e-6 (the in-kernel
+    perspective weights multiply by the winning depth instead of
+    normalising; tests pin the tolerance in interpret mode).
+    """
+    H = W = image_size
+    F = face_px.shape[0]
+    A = int(face_attrs.shape[-1])
+    fb = _cdiv(F, face_block)
+    fpad = fb * face_block - F
+
+    y_centroid = face_px[:, :, 1].mean(axis=1)
+    order = jnp.argsort(y_centroid)
+    face_px_s = face_px[order]
+    face_z_s = face_z[order]
+    attrs_s = face_attrs[order]
+
+    eps = 1e-9
+    front = (face_z_s > eps).all(axis=1)
+    iz = 1.0 / jnp.maximum(face_z_s, eps)
+    soa = jnp.concatenate(
+        [
+            face_px_s[:, 0], face_px_s[:, 1], face_px_s[:, 2],
+            iz,
+            front[:, None].astype(face_px.dtype),
+            # corner-major attribute rows: row 10 + k*A + c
+            attrs_s.reshape(F, 3 * A).astype(face_px.dtype),
+        ],
+        axis=1,
+    ).T                                                   # [10 + 3A, F]
+    rows = soa.shape[0]
+    rpad = _cdiv(rows, 8) * 8 - rows
+    fy_min = jnp.where(front, face_px_s[:, :, 1].min(1), jnp.inf)
+    fy_max = jnp.where(front, face_px_s[:, :, 1].max(1), -jnp.inf)
+    if fpad:
+        soa = jnp.concatenate(
+            [soa, jnp.zeros((rows, fpad), soa.dtype)], axis=1
+        )
+        fy_min = jnp.concatenate([fy_min, jnp.full((fpad,), jnp.inf)])
+        fy_max = jnp.concatenate([fy_max, jnp.full((fpad,), -jnp.inf)])
+    if rpad:
+        soa = jnp.concatenate(
+            [soa, jnp.zeros((rpad, soa.shape[1]), soa.dtype)]
+        )
+    blk_y = jnp.stack(
+        [
+            fy_min.reshape(fb, face_block).min(1),
+            fy_max.reshape(fb, face_block).max(1),
+        ],
+        axis=1,
+    ).astype(face_px.dtype)
+
+    P = H * W
+    pt = _cdiv(P, pixel_tile)
+    ppad = pt * pixel_tile - P
+    ys = jnp.repeat(jnp.arange(H, dtype=face_px.dtype), W) + 0.5
+    xs = jnp.tile(jnp.arange(W, dtype=face_px.dtype), H) + 0.5
+    if ppad:
+        xs = jnp.concatenate([xs, jnp.full((ppad,), -1e6, xs.dtype)])
+        ys = jnp.concatenate([ys, jnp.full((ppad,), -1e6, ys.dtype)])
+    tile_y = jnp.stack(
+        [
+            ys.reshape(pt, pixel_tile).min(1),
+            ys.reshape(pt, pixel_tile).max(1),
+        ],
+        axis=1,
+    ).astype(face_px.dtype)
+    xs = xs[:, None]
+    ys = ys[:, None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(pt, fb),
+        in_specs=[
+            pl.BlockSpec((pixel_tile, 1), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pixel_tile, 1), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows + rpad, face_block), lambda i, j, *_: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((pixel_tile, 1), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pixel_tile, 1), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pixel_tile, A), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    depth, fidx, attr = pl.pallas_call(
+        functools.partial(_raster_attr_kernel, n_attr=A),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((pt * pixel_tile, 1), face_px.dtype),
+            jax.ShapeDtypeStruct((pt * pixel_tile, 1), jnp.int32),
+            jax.ShapeDtypeStruct((pt * pixel_tile, A), face_px.dtype),
+        ],
+        interpret=interpret,
+    )(tile_y, blk_y, xs, ys, soa)
+    fidx = fidx[:P, 0].reshape(H, W)
+    if remap_faces:
+        fidx = jnp.where(
+            fidx >= 0, order.astype(jnp.int32)[jnp.maximum(fidx, 0)], -1
+        )
+    return (
+        attr[:P].reshape(H, W, A),
+        fidx,
+        depth[:P, 0].reshape(H, W),
+    )
+
+
+def rasterize_attrs_xla(face_px, face_z, face_attrs, image_size,
+                        face_block: int = 256):
+    """Pure-XLA equivalent of :func:`rasterize_attrs_pallas`."""
+    from bodyfitting_tpu.ops import rasterize as rz
+
+    raster = rz.rasterize(face_px, face_z, image_size,
+                          face_block=face_block)
+    attrs = rz.render_attributes(raster, face_attrs, background=0.0)
+    return attrs, raster.face_idx, raster.depth
+
+
+def auto_rasterize_attrs(face_px, face_z, face_attrs, image_size,
+                         face_block: int = 256):
+    """Fused raster+attrs: Pallas on TPU, XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        return rasterize_attrs_pallas(
+            face_px, face_z, face_attrs, image_size,
+            face_block=max(face_block, 512),
+        )
+    return rasterize_attrs_xla(face_px, face_z, face_attrs, image_size,
+                               face_block=face_block)
+
+
 def rasterize_pallas(
     face_px: jax.Array,
     face_z: jax.Array,

@@ -284,8 +284,11 @@ def build_uv_sample_plan_device(
     # Row-cut table: cum[r] = #fg pixels with y0 < r, as one vectorized
     # binary search over the sorted keys (a scatter-add histogram or a
     # per-step searchsorted both hit slow per-element TPU paths).
+    # method='sort' lowers to one more (cheap) device sort; the default
+    # binary-search lowering measured ~6 ms/pose of per-element gathers
     cum = jnp.searchsorted(
-        y0s[:-1], jnp.arange(S + 1, dtype=jnp.int32), side="left"
+        y0s[:-1], jnp.arange(S + 1, dtype=jnp.int32), side="left",
+        method="sort",
     ).astype(jnp.int32)                                # [S + 1]
 
     # Greedy packing: the host builder's while loop as a bounded scan.
@@ -303,19 +306,27 @@ def build_uv_sample_plan_device(
         pack, jnp.int32(0), None, length=I
     )
 
-    # Slot fill: ONE row gather.  Per-element gathers of six separate tap
-    # arrays are a slow TPU path (measured ~7s across a 128-pose batch);
-    # packing the per-pixel tap data into [N, 6+C] rows makes the fill a
-    # single contiguous-row gather.
+    # Slot fill: permute the packed [N, 6+C] rows into sort order ONCE,
+    # then each item is one contiguous ``dynamic_slice`` at its start
+    # offset.  (Round-3 profiling, bench_texfit_maps.py/_planbuild
+    # decomposition: the earlier ``packed[order[slot]]`` form spent
+    # ~17 ms/pose materializing the [I*K] per-element index gather and
+    # ~14 ms/pose gathering 2x the rows; sorted-once + sliced reads the
+    # same data contiguously.)  K zero pad rows keep starts near N from
+    # clamping the slice window (pad rows are masked below).
     slot = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
     slot_valid = slot < ends[:, None]
-    src = jnp.where(slot_valid, order[jnp.minimum(slot, N - 1)], 0)
 
     packed = jnp.concatenate(
         [x0[:, None], x1[:, None], wx[:, None],
          y0[:, None], y1[:, None], wy[:, None], tgt_flat], axis=1,
     )                                                  # [N, 6 + C]
-    rowsf = packed[src]                                # [I, K, 6 + C]
+    psort = jnp.concatenate(
+        [packed[order], jnp.zeros((K, 6 + C), packed.dtype)]
+    )
+    rowsf = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(psort, (s, 0), (K, 6 + C))
+    )(starts)                                          # [I, K, 6 + C]
     vmaskf = slot_valid.astype(jnp.float32)
     rowsf = rowsf * vmaskf[..., None]
     rowbase = rows_out[:, None].astype(jnp.float32)
