@@ -75,10 +75,10 @@ def config_parser():
                         "0 = fully serial (the reference's structure)")
     p.add_argument("--io_cache", default=True,
                    action=argparse.BooleanOptionalAction,
-                   help="persist per-frame crop bboxes under output_dir "
-                        "so later runs skip the ~40 mask PNG decodes per "
-                        "frame whose content is never used (bit-identical "
-                        "results; --no-io_cache disables)")
+                   help="persist per-frame crop bboxes and cropped GT-view "
+                        "masks under output_dir so later runs skip all "
+                        "full-res mask PNG decodes (bit-identical results; "
+                        "--no-io_cache disables)")
     p.add_argument("--data_parallel", default=False, action="store_true",
                    help="shard each frame batch over all local devices "
                         "(multi-chip data parallelism; batch_frames should "
@@ -309,6 +309,23 @@ class Runner:
             if bbox_cache is None else bbox_cache.copy()
         )
 
+        # Companion cache for the GT-mask views: the fit consumes their
+        # cropped mask *content* (contours + stay-inside term), so the
+        # bbox alone cannot skip those decodes.  The cropped mask is a
+        # deterministic function of (mask file, bbox, load_size), is
+        # 16-64x smaller than the source PNG, and is stored raw (npz) so
+        # steady-state re-runs decode zero mask PNGs per frame.  Keyed
+        # on load_size; rows are only trusted alongside a status-1 bbox
+        # row (always saved in tandem).
+        crop_path = os.path.join(
+            self.output_dir, "%06d" % frame, "mask_crops_%d.npz" % size
+        )
+        crop_cache: dict | None = None
+        if self.args.io_cache and os.path.exists(crop_path):
+            with np.load(crop_path) as z:
+                crop_cache = {int(k[1:]): z[k] for k in z.files}
+        new_crops: dict = {}
+
         def load_view(i, view):
             """Read + crop one view (IO/decode-bound; runs threaded —
             the reference reads its 48 views serially,
@@ -332,11 +349,19 @@ class Runner:
             json_cached = os.path.exists(
                 os.path.join(op_dir, "%02d_keypoints.json" % view)
             )
+            want_crop = view in self.mask_frames and self.args.use_mask
+            cached_crop = (
+                crop_cache.get(view)
+                if crop_cache is not None and view < 48 else None
+            )
+            # the image branch composites through the full-res mask
+            need_img = (
+                not json_cached or view == hmr_view or self.args.debug
+            )
             need_mask = (
                 cached is None or cached[0] == 0
-                or (view in self.mask_frames and self.args.use_mask)
-                # the image branch composites through the mask
-                or not json_cached or view == hmr_view or self.args.debug
+                or (want_crop and cached_crop is None)
+                or need_img
             )
             if cached is not None and cached[0] == 2:
                 return None             # cached empty-mask verdict
@@ -357,7 +382,7 @@ class Runner:
             else:
                 msk = None
                 bbox = tuple(int(v) for v in cached[1:])
-            if not json_cached or view == hmr_view or self.args.debug:
+            if need_img:
                 img = imread_checked(os.path.join(
                     self.target_dir, "image", "%02d" % view,
                     imgnames[frame_idx]
@@ -377,10 +402,14 @@ class Runner:
             # linear, like the reference actually runs (its positional
             # INTER_NEAREST is ignored by cv2 — see crop_and_resize);
             # binarize_mask downstream re-thresholds the blended edges
-            crop_msk = (
-                crop_and_resize(msk, bbox, size)
-                if view in self.mask_frames and self.args.use_mask else None
-            )
+            crop_msk = None
+            if want_crop:
+                if msk is not None:
+                    crop_msk = crop_and_resize(msk, bbox, size)
+                    if view < 48:       # threads write disjoint keys
+                        new_crops[view] = crop_msk
+                else:
+                    crop_msk = cached_crop
             return (
                 img, crop_msk, adjust_K_for_crop(self.Ks_all[i], bbox, size),
                 self.RTs_all[i].astype(np.float32),
@@ -398,6 +427,14 @@ class Runner:
         ):
             # threads wrote disjoint rows; persist once per frame
             np.save(cache_path, new_cache)
+        if self.args.io_cache and any(
+            crop_cache is None or v not in crop_cache
+            or not np.array_equal(crop_cache[v], a)
+            for v, a in new_crops.items()
+        ):
+            merged = dict(crop_cache or {})
+            merged.update(new_crops)
+            np.savez(crop_path, **{"m%02d" % v: a for v, a in merged.items()})
 
         Ks, c2ws, use_frames, mask_frames, images, masks = (
             [], [], [], [], [], []

@@ -471,8 +471,10 @@ def test_reference_cli_invocations_parse():
 def test_genebody_bbox_cache_identical_and_skips_decodes(
     genebody_dataset, tmp_path
 ):
-    """The per-frame bbox cache returns bit-identical get_data results
-    while skipping the mask decodes whose content is never used."""
+    """The per-frame bbox + cropped-mask caches return bit-identical
+    get_data results while skipping every mask decode on re-runs (the
+    ~40 bbox-only views via bbox_cache.npy, the GT-mask views via
+    mask_crops_{size}.npz)."""
     root, subject, size = genebody_dataset
     out_dir = tmp_path / "out"
     from bodyfitting_tpu.apps import genebody
@@ -501,6 +503,10 @@ def test_genebody_bbox_cache_identical_and_skips_decodes(
     first = runner.get_data(frame)
     cache = out_dir / subject / ("%06d" % frame) / "bbox_cache.npy"
     assert cache.exists()
+    crop_cache = (
+        out_dir / subject / ("%06d" % frame) / ("mask_crops_%d.npz" % size)
+    )
+    assert crop_cache.exists()
 
     from bodyfitting_tpu.io import images as io_images
 
@@ -521,9 +527,9 @@ def test_genebody_bbox_cache_identical_and_skips_decodes(
         io_images.imread_checked = orig
         genebody.imread_checked = saved
 
-    # only the GT-mask views' masks are decoded on the cached run
-    n_gt = len([v for v in runner.views if v in runner.mask_frames])
-    assert len(calls) == n_gt, calls
+    # no file is decoded at all on the cached run: bbox-only views hit
+    # bbox_cache.npy, GT-mask views hit mask_crops_{size}.npz
+    assert len(calls) == 0, calls
     for a, b in zip(first, second):
         assert len(a) == len(b)
         for x, y in zip(a, b):
