@@ -149,6 +149,13 @@ def main():
                     help="run the Runner N times on the same output dir; "
                          "pass 2+ measures the steady state with warm "
                          "openpose-JSON and bbox caches")
+    ap.add_argument("--prep_only", action="store_true",
+                    help="time only the host-side per-frame prep "
+                         "(image IO/crop caches, contour extraction, "
+                         "observation assembly) with no device fitting — "
+                         "the host roofline of the pipelined run loop; "
+                         "runs fine with JAX_PLATFORMS=cpu when the TPU "
+                         "is unavailable")
     args = ap.parse_args()
 
     from bodyfitting_tpu.utils.compilation_cache import (
@@ -187,6 +194,35 @@ def main():
     # passes measure the steady state (re-runs over an already-processed
     # subject: all ~40 non-GT-mask PNG decodes per frame skipped).  A
     # fresh Runner per pass keeps per-process state out of the timing.
+    if args.prep_only:
+        # Host roofline: the pipelined loop overlaps prep with device
+        # time, so e2e can never beat max(prep wall, chip wall).  Time
+        # prep alone, serially, per pass (pass 1 populates the bbox and
+        # mask-crop caches; later passes are the steady state).
+        walls = []
+        for rep in range(max(args.repeat, 1)):
+            runner = genebody.Runner(app_args)
+            t0 = time.perf_counter()
+            for frame in runner.seqs:
+                inputs = runner._prepare_frame(frame)
+                assert inputs is not None
+            walls.append(time.perf_counter() - t0)
+            if args.timing and runner.timer is not None:
+                print("[timing pass %d] " % (rep + 1)
+                      + json.dumps(runner.timer.summary()), file=sys.stderr)
+        print(json.dumps({
+            "metric": "genebody_prep_wall_s",
+            "value": round(walls[-1], 2),
+            "unit": (
+                f"s host prep for {args.n_frames} frames x 48 views "
+                f"(pass walls {[round(w, 2) for w in walls]})"
+            ),
+            "frames_per_sec_prep": round(args.n_frames / walls[-1], 2),
+        }))
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
+
     walls = []
     for rep in range(max(args.repeat, 1)):
         runner = genebody.Runner(app_args)
