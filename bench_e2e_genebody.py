@@ -154,9 +154,17 @@ def main():
                          "(image IO/crop caches, contour extraction, "
                          "observation assembly) with no device fitting — "
                          "the host roofline of the pipelined run loop; "
-                         "runs fine with JAX_PLATFORMS=cpu when the TPU "
-                         "is unavailable")
+                         "pins jax to CPU so it runs when the TPU is "
+                         "unavailable")
     args = ap.parse_args()
+
+    if args.prep_only:
+        # Pin CPU properly: in this environment the JAX_PLATFORMS env var
+        # alone is overridden by sitecustomize; the config update before
+        # any array op is what actually takes effect (CLAUDE.md).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from bodyfitting_tpu.utils.compilation_cache import (
         enable_compilation_cache,

@@ -392,11 +392,15 @@ def multiview_mask_loss(
         total_icp = total_icp + (mindist * coeff * contour_valid[i]).sum()
 
         # stay-inside: grid_sample(1-mask) with zero padding, the
-        # reference's own op (loss.py:123-127; align_corners=False)
+        # reference's own op (loss.py:123-127).  The reference pins
+        # torch==1.2.0 (requirements.txt:2), whose grid_sample predates
+        # the align_corners argument and uses align_corners=True
+        # semantics (the default flipped to False in torch 1.3) — so
+        # True is the reference-as-pinned behaviour.
         uv = (proj / imsize * 2.0 - 1.0).reshape(1, -1, 1, 2)
         comp = F.grid_sample(
             (1.0 - mask)[None, None], uv, mode="bilinear",
-            padding_mode="zeros", align_corners=False,
+            padding_mode="zeros", align_corners=True,
         )
         total_binary = total_binary + comp.sum()
     return total_icp + total_binary * epsilon
@@ -441,7 +445,7 @@ def _closest_on_tris(p, a, b, c):
 
 
 def nearest_points_on_mesh(points, scan_verts, scan_faces,
-                           point_chunk=1024, face_chunk=8192):
+                           point_chunk=1024, face_chunk=8192, prune=True):
     """Exact nearest point + face index on a triangle mesh (the quantity
     the reference's CUDA grid walk returns, mesh_grid.cpp:54 ->
     mesh_grid_kernel.cu:240-353).  Non-differentiable by contract (the
@@ -455,7 +459,20 @@ def nearest_points_on_mesh(points, scan_verts, scan_faces,
     (queries in an edge's Voronoi region are equidistant from both
     incident faces), the LOWEST face index wins, so both engines report
     the same face for the normal loss regardless of rounding order.
+
+    ``prune=True`` (default) first discards faces whose AABB lower-bound
+    distance provably exceeds a per-query upper bound (the nearest
+    face-vertex) plus the tie threshold's margin, then runs the identical
+    ``_closest_on_tris`` arithmetic on the surviving candidates — the
+    result is bit-identical to the brute-force path (asserted by
+    ``tests/test_parity.py::test_nearest_oracle_pruned_bit_identical``)
+    at ~20x less arithmetic, which is
+    what makes multi-seed f64 parity studies affordable on one CPU core.
     """
+    if prune:
+        return _nearest_points_on_mesh_pruned(
+            points, scan_verts, scan_faces
+        )
     with torch.no_grad():
         tri = scan_verts[scan_faces]                             # [F,3,3]
         Q = points.shape[0]
@@ -496,6 +513,67 @@ def nearest_points_on_mesh(points, scan_verts, scan_faces,
             )[:, 0, :]
             out_pts[q0:q0 + p.shape[0]] = pt
             out_idx[q0:q0 + p.shape[0]] = low
+        return out_pts, out_idx
+
+
+def _nearest_points_on_mesh_pruned(points, scan_verts, scan_faces):
+    """AABB-pruned exact nearest (see :func:`nearest_points_on_mesh`).
+
+    Per query chunk: (1) upper bound ``ub`` = min squared distance to any
+    face's first vertex (a real point on the mesh); (2) lower bound per
+    face = squared distance to the face's AABB; (3) candidates = faces
+    with ``lb <= ub + margin`` where the margin dominates both float
+    rounding of lb/ub (few-eps relative) and the tie threshold
+    ``32 eps (best + diag^2)`` the brute-force path scans with — so every
+    face the brute force could select survives pruning; (4) the original
+    ``_closest_on_tris`` + tie-break arithmetic on the candidates only.
+    """
+    with torch.no_grad():
+        tri = scan_verts[scan_faces]                             # [F,3,3]
+        Q, F_ = points.shape[0], tri.shape[0]
+        lo = tri.min(dim=1).values                               # [F,3]
+        hi = tri.max(dim=1).values
+        v0 = tri[:, 0]                                           # [F,3]
+        ext = scan_verts.max(0).values - scan_verts.min(0).values
+        diag2 = (ext * ext).sum()
+        eps = torch.finfo(points.dtype).eps
+        out_pts = torch.empty_like(points)
+        out_idx = torch.empty(Q, dtype=torch.long)
+        # [Qc, F] transients bound the chunk size (~30M f64 elements)
+        point_chunk = max(32, min(1024, int(3e7) // max(F_, 1)))
+        for q0 in range(0, Q, point_chunk):
+            pq = points[q0:q0 + point_chunk]                     # [Qc,3]
+            Qc = pq.shape[0]
+            ub = ((pq[:, None, :] - v0[None]) ** 2).sum(-1).min(1).values
+            clamped = torch.clamp(pq[:, None, :], lo[None], hi[None])
+            lb = ((clamped - pq[:, None, :]) ** 2).sum(-1)       # [Qc,F]
+            margin = 256.0 * eps * (ub + diag2)
+            cand = lb <= (ub + margin)[:, None]                  # [Qc,F]
+            K = int(cand.sum(1).max())
+            # candidate columns first, preserving ascending face order
+            order = torch.argsort(~cand, dim=1, stable=True)[:, :K]
+            padmask = torch.gather(cand, 1, order)               # [Qc,K]
+            tri_c = tri[order]                                   # [Qc,K,3,3]
+            cp = _closest_on_tris(
+                pq.unsqueeze(1), tri_c[..., 0, :], tri_c[..., 1, :],
+                tri_c[..., 2, :],
+            )                                                    # [Qc,K,3]
+            d2 = ((pq.unsqueeze(1) - cp) ** 2).sum(-1)           # [Qc,K]
+            d2 = torch.where(padmask, d2, torch.full_like(d2, float("inf")))
+            best_d2 = d2.min(dim=1).values
+            thresh = best_d2 + 32.0 * eps * (best_d2 + diag2)
+            fcand = torch.where(
+                d2 <= thresh[:, None], order,
+                torch.full_like(order, 2**60),
+            )
+            low = fcand.min(dim=1).values
+            tri_tb = tri[low]
+            pt = _closest_on_tris(
+                pq.unsqueeze(1),
+                tri_tb[:, None, 0], tri_tb[:, None, 1], tri_tb[:, None, 2],
+            )[:, 0, :]
+            out_pts[q0:q0 + Qc] = pt
+            out_idx[q0:q0 + Qc] = low
         return out_pts, out_idx
 
 

@@ -11,8 +11,11 @@ Semantics preserved from the reference:
     nearest projected (every-4th) SMPL vertex, weighted ``epsilon`` x when
     that matched vertex lands outside the mask;
   * a differentiable "stay inside" term: bilinear-sampling ``1 - mask`` at
-    every projected vertex (the reference's ``grid_sample`` with
-    align_corners=False -> sample at pixel coords minus half).
+    every projected vertex — the reference's ``grid_sample(1-mask,
+    uv/imsize*2-1)`` under torch==1.2.0 (requirements.txt:2), whose
+    ``grid_sample`` predates the ``align_corners`` argument and uses
+    align_corners=True semantics (the default flipped to False in torch
+    1.3) -> tap position is ``uv * (size-1) / imsize``, zero padding.
 """
 
 from __future__ import annotations
@@ -142,13 +145,16 @@ def resample_contours(
     return out, weights
 
 
-def _bilinear_sample_zero_pad(img: jax.Array, xy: jax.Array) -> jax.Array:
+def _bilinear_sample_zero_pad(
+    img: jax.Array, xy: jax.Array, imsize: float
+) -> jax.Array:
     """Sample ``img [H, W]`` at pixel coords ``xy [N, 2] (x, y)``, bilinear
-    with zero padding, matching ``grid_sample(align_corners=False)`` given
-    normalised coords ``uv/size*2-1`` (i.e. sample at ``uv - 0.5``)."""
+    with zero padding, matching torch-1.2.0 ``grid_sample`` (align_corners=
+    True semantics — the arg did not exist yet) given normalised coords
+    ``xy/imsize*2-1``: tap position is ``xy * (size-1) / imsize``."""
     H, W = img.shape
-    x = xy[:, 0] - 0.5
-    y = xy[:, 1] - 0.5
+    x = xy[:, 0] * ((W - 1) / imsize)
+    y = xy[:, 1] * ((H - 1) / imsize)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = x - x0
@@ -173,7 +179,9 @@ def _bilinear_sample_zero_pad(img: jax.Array, xy: jax.Array) -> jax.Array:
     )
 
 
-def _bilinear_sample_onehot(img: jax.Array, xy: jax.Array) -> jax.Array:
+def _bilinear_sample_onehot(
+    img: jax.Array, xy: jax.Array, imsize: float
+) -> jax.Array:
     """TPU-friendly equivalent of :func:`_bilinear_sample_zero_pad`.
 
     XLA lowers the 4-tap gather to a slow per-element path on TPU (it was
@@ -187,12 +195,12 @@ def _bilinear_sample_onehot(img: jax.Array, xy: jax.Array) -> jax.Array:
     sub-1 weights, accumulation is f32, and HIGHEST costs 3.9x for a
     <1e-4 relative difference.
     """
-    sampled, _ = _bilinear_sample_onehot_cov(img, xy)
+    sampled, _ = _bilinear_sample_onehot_cov(img, xy, imsize)
     return sampled
 
 
 def _bilinear_sample_onehot_cov(
-    img: jax.Array, xy: jax.Array
+    img: jax.Array, xy: jax.Array, imsize: float
 ) -> tuple[jax.Array, jax.Array]:
     """One-hot bilinear sample plus per-point in-image *coverage*.
 
@@ -201,7 +209,7 @@ def _bilinear_sample_onehot_cov(
     equals sampling ``1 - img`` with zero padding without ever
     materializing the complement image.
     """
-    row_w, col_w = _separable_bilinear_weights(img.shape, xy, img.dtype)
+    row_w, col_w = _separable_bilinear_weights(img.shape, xy, img.dtype, imsize)
     rows = jax.lax.dot_general(
         row_w, img, (((1,), (0,)), ((), ()))
     )                                                           # [N, W]
@@ -210,12 +218,14 @@ def _bilinear_sample_onehot_cov(
     return sampled, coverage
 
 
-def _separable_bilinear_weights(shape, xy, dtype):
+def _separable_bilinear_weights(shape, xy, dtype, imsize):
     """Hinge weight matrices ``(row_w [N, H], col_w [N, W])`` whose outer
-    product per point is the zero-padded bilinear tap pattern."""
+    product per point is the zero-padded bilinear tap pattern of
+    torch-1.2.0 ``grid_sample`` (align_corners=True semantics) for
+    normalised coords ``xy/imsize*2-1``."""
     H, W = shape
-    x = xy[:, 0] - 0.5
-    y = xy[:, 1] - 0.5
+    x = xy[:, 0] * ((W - 1) / imsize)
+    y = xy[:, 1] * ((H - 1) / imsize)
     iy = jnp.arange(H, dtype=dtype)[None, :]
     ix = jnp.arange(W, dtype=dtype)[None, :]
     row_w = jnp.maximum(0.0, 1.0 - jnp.abs(iy - y[:, None]))
@@ -333,7 +343,7 @@ def silhouette_loss(
         # hoist it; it cost ~4 ms/iter at 8 frames x 8 views): sampling
         # the constant-1 image with separable zero-padded bilinear
         # weights factorizes into rowsum * colsum.
-        sampled, coverage = _bilinear_sample_onehot_cov(mask, proj)
+        sampled, coverage = _bilinear_sample_onehot_cov(mask, proj, imsize)
         binary = jnp.sum(coverage - sampled)
         return icp, binary
 

@@ -218,27 +218,60 @@ def test_onehot_bilinear_matches_gather_bilinear(rng):
     )
 
     H, W = 48, 64
+    S = 56.0  # normalisation constant distinct from both H and W
     img = jnp.asarray(rng.uniform(size=(H, W)), jnp.float32)
     xy = jnp.asarray(
         rng.uniform(-10, 74, size=(300, 2)), jnp.float32
     )  # includes far out-of-bounds on both sides
-    a = np.asarray(_bilinear_sample_zero_pad(img, xy))
-    b = np.asarray(_bilinear_sample_onehot(img, xy))
+    a = np.asarray(_bilinear_sample_zero_pad(img, xy, S))
+    b = np.asarray(_bilinear_sample_onehot(img, xy, S))
     np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
 
-    inv = np.asarray(_bilinear_sample_zero_pad(1.0 - img, xy))
-    row_w, col_w = _separable_bilinear_weights((H, W), xy, jnp.float32)
+    inv = np.asarray(_bilinear_sample_zero_pad(1.0 - img, xy, S))
+    row_w, col_w = _separable_bilinear_weights((H, W), xy, jnp.float32, S)
     coverage = np.asarray(jnp.sum(row_w, -1) * jnp.sum(col_w, -1))
     np.testing.assert_allclose(
         inv, coverage - b, rtol=0, atol=3e-5
     )
 
     # gradients w.r.t. coordinates agree too (the term's purpose)
-    ga = jax.grad(lambda p: jnp.sum(_bilinear_sample_zero_pad(img, p)))(xy)
-    gb = jax.grad(lambda p: jnp.sum(_bilinear_sample_onehot(img, p)))(xy)
+    ga = jax.grad(lambda p: jnp.sum(_bilinear_sample_zero_pad(img, p, S)))(xy)
+    gb = jax.grad(lambda p: jnp.sum(_bilinear_sample_onehot(img, p, S)))(xy)
     np.testing.assert_allclose(
         np.asarray(ga), np.asarray(gb), rtol=0, atol=2e-4
     )
+
+
+def test_bilinear_sampler_matches_torch12_grid_sample(rng):
+    """The JAX sampler must reproduce torch grid_sample with
+    align_corners=True — the semantics of torch==1.2.0, the version the
+    reference pins (requirements.txt:2), where the argument did not yet
+    exist.  Values AND coordinate gradients, including out-of-bounds."""
+    import torch
+    import torch.nn.functional as F
+
+    from bodyfitting_tpu.losses.silhouette import _bilinear_sample_onehot
+
+    H, W = 40, 52
+    S = 48.0
+    img_np = rng.uniform(size=(H, W)).astype(np.float32)
+    xy_np = rng.uniform(-8, 60, size=(200, 2)).astype(np.float32)
+
+    got = np.asarray(_bilinear_sample_onehot(
+        jnp.asarray(img_np), jnp.asarray(xy_np), S))
+    gj = np.asarray(jax.grad(lambda p: jnp.sum(
+        _bilinear_sample_onehot(jnp.asarray(img_np), p, S)
+    ))(jnp.asarray(xy_np)))
+
+    xy_t = torch.tensor(xy_np, requires_grad=True)
+    grid = (xy_t / S * 2.0 - 1.0).reshape(1, -1, 1, 2)
+    out = F.grid_sample(
+        torch.tensor(img_np)[None, None], grid, mode="bilinear",
+        padding_mode="zeros", align_corners=True,
+    ).reshape(-1)
+    out.sum().backward()
+    np.testing.assert_allclose(got, out.detach().numpy(), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(gj, xy_t.grad.numpy(), rtol=1e-4, atol=2e-4)
 
 
 def test_silhouette_loss_grad_finite(rng):
@@ -345,7 +378,7 @@ def test_silhouette_onehot_tail_matches_gather_oracle(rng):
             om = (masks[i][my, mx] < 0.1).astype(jnp.float32)
             total = total + jnp.sum(md * (om * (eps - 1) + 1) * cvalid[i])
             rw, cw = sil._separable_bilinear_weights(
-                masks[i].shape, proj, proj.dtype
+                masks[i].shape, proj, proj.dtype, float(H)
             )
             sampled = jnp.sum((rw @ masks[i]) * cw, -1)
             cov = jnp.sum(rw, -1) * jnp.sum(cw, -1)

@@ -112,6 +112,32 @@ def test_loss_matches_torch_reenactment():
     assert abs(float(loss_jax) - float(loss_t)) / abs(float(loss_t)) < 1e-5
 
 
+def test_nearest_oracle_pruned_bit_identical():
+    """The AABB-pruned nearest query must return the SAME bits as the
+    brute-force enumeration (same per-(query, face) arithmetic, pruning
+    only removes provably-losing faces) — in f32 and f64, on queries far
+    outside, near the surface, and exactly on vertices (tie cases)."""
+    import torch
+
+    from bodyfitting_tpu.fitting import torch_reference as tr
+
+    for dtype, seed in ((torch.float32, 0), (torch.float64, 1)):
+        g = torch.Generator().manual_seed(seed)
+        verts = torch.randn(200, 3, generator=g, dtype=dtype)
+        faces = torch.randint(0, 200, (400, 3), generator=g)
+        near = verts[torch.randint(0, 200, (64,), generator=g)] \
+            + 1e-3 * torch.randn(64, 3, generator=g, dtype=dtype)
+        far = 5.0 * torch.randn(64, 3, generator=g, dtype=dtype)
+        on_vert = verts[torch.randint(0, 200, (32,), generator=g)]
+        points = torch.cat([near, far, on_vert])
+        p_b, i_b = tr.nearest_points_on_mesh(
+            points, verts, faces, prune=False)
+        p_p, i_p = tr.nearest_points_on_mesh(
+            points, verts, faces, prune=True)
+        assert torch.equal(i_b, i_p), (i_b != i_p).nonzero()
+        assert torch.equal(p_b, p_p)
+
+
 @pytest.mark.slow
 def test_fit_parity_f64_subprocess():
     """150-iteration f64 fit: both engines converge to the same vertices
