@@ -425,7 +425,8 @@ def disp_step_parity(model, extras, constant_scale, bv, disp):
 
 def run_parity(num_verts=10475, n_views=48, num_iters=600, seed=0,
                dtype_str="f32", fit_config="kp", imsize=512.0,
-               n_mask_views=8, contour_points=512, self_scatter=False):
+               n_mask_views=8, contour_points=512, self_scatter=False,
+               light=False):
     """Run both engines on identical inputs; return the comparison report."""
     model, w2cs, Ks, keypoints, cscale, extras = make_inputs(
         num_verts, n_views, seed, dtype_str, fit_config=fit_config,
@@ -467,6 +468,7 @@ def run_parity(num_verts=10475, n_views=48, num_iters=600, seed=0,
     report = {
         "dtype": dtype_str,
         "config": fit_config,
+        "seed": seed,
         "num_verts": num_verts,
         "n_views": n_views,
         "num_iters": num_iters,
@@ -505,15 +507,16 @@ def run_parity(num_verts=10475, n_views=48, num_iters=600, seed=0,
         report["mask_step_loss_rel"] = step_l
         report["mask_step_grad_rel"] = step_g
 
-        torch_res_b = run_torch_fit(
-            model, w2cs, Ks, keypoints, cscale, num_iters, gmm, extras,
-            fit_config, imsize, init_perturb=1e-12,
-        )
-        self_dev = np.linalg.norm(
-            torch_res_b["vertices"] - torch_res["vertices"], axis=-1
-        )
-        report["torch_self_scatter_mm"] = \
-            float(self_dev.mean()) / scale_out * 1000.0
+        if not light:
+            torch_res_b = run_torch_fit(
+                model, w2cs, Ks, keypoints, cscale, num_iters, gmm, extras,
+                fit_config, imsize, init_perturb=1e-12,
+            )
+            self_dev = np.linalg.norm(
+                torch_res_b["vertices"] - torch_res["vertices"], axis=-1
+            )
+            report["torch_self_scatter_mm"] = \
+                float(self_dev.mean()) / scale_out * 1000.0
 
         kp_j, ct_j = mask_fit_quality(jax_res, w2cs, Ks, keypoints,
                                       extras, imsize)
@@ -830,6 +833,166 @@ def write_parity_staged_md(report):
         f.write(text)
 
 
+def _dist(vals):
+    vals = np.asarray(vals, np.float64)
+    return {
+        "mean": float(vals.mean()),
+        "std": float(vals.std(ddof=1)) if len(vals) > 1 else 0.0,
+        "min": float(vals.min()),
+        "max": float(vals.max()),
+        "values": [float(v) for v in vals],
+    }
+
+
+def run_seed_study(fit_config, n_seeds, num_verts, n_views, num_iters,
+                   imsize, n_mask_views, contour_points,
+                   dtype_str="f64"):
+    """N independent problems (seeds) fitted by BOTH engines; returns the
+    per-engine quality distributions (VERDICT r3 items 3 and 5).
+
+    The staged objectives are chaotic past the gate, so converged states
+    on any ONE problem scatter with 1-ulp input changes (the
+    ``self_scatter`` rows).  The equal-quality claim therefore needs a
+    distribution: across seeds, the two engines' converged-quality
+    metrics (final shared-objective loss; keypoint RMS + contour ICP for
+    the mask config; scan residual for SMPL+D) must overlap — the paired
+    per-seed deltas must be small against the across-seed spread and
+    carry no systematic sign.
+    """
+    reports = []
+    for s in range(n_seeds):
+        t0 = time.perf_counter()
+        r = run_parity(num_verts, n_views, num_iters, seed=s,
+                       dtype_str=dtype_str, fit_config=fit_config,
+                       imsize=imsize, n_mask_views=n_mask_views,
+                       contour_points=contour_points,
+                       self_scatter=(fit_config == "smpld" and s == 0),
+                       light=(s > 0))
+        print(f"[seed {s}] done in {time.perf_counter() - t0:.0f}s: "
+              + json.dumps({k: v for k, v in r.items()
+                            if isinstance(v, float)}), file=sys.stderr)
+        reports.append(r)
+
+    study = {
+        "config": fit_config,
+        "dtype": dtype_str,
+        "n_seeds": n_seeds,
+        "num_verts": num_verts,
+        "n_views": n_views,
+        "num_iters": num_iters,
+        "final_loss_jax": _dist([r["final_loss_jax"] for r in reports]),
+        "final_loss_torch": _dist([r["final_loss_torch"] for r in reports]),
+        "final_loss_rel_delta": _dist([
+            (r["final_loss_jax"] - r["final_loss_torch"])
+            / abs(r["final_loss_torch"]) for r in reports]),
+    }
+    if fit_config == "mask":
+        for k in ("kp_rms_px", "contour_mean_px"):
+            study[k + "_jax"] = _dist([r[k + "_jax"] for r in reports])
+            study[k + "_torch"] = _dist([r[k + "_torch"] for r in reports])
+            study[k + "_delta"] = _dist([
+                r[k + "_jax"] - r[k + "_torch"] for r in reports])
+    if fit_config == "smpld":
+        for k in ("scan_residual_jax_mm", "scan_residual_torch_mm",
+                  "cross_surface_dev_mm"):
+            study[k] = _dist([r[k] for r in reports])
+        study["scan_residual_delta_mm"] = _dist([
+            r["scan_residual_jax_mm"] - r["scan_residual_torch_mm"]
+            for r in reports])
+        r0 = reports[0]
+        if "scan_residual_torch_b_mm" in r0:
+            study["seed0_self_scatter"] = {
+                k: r0[k] for k in (
+                    "torch_self_scatter_mm", "disp_self_scatter_mm",
+                    "scan_residual_torch_b_mm", "cross_surface_self_mm",
+                ) if k in r0
+            }
+    return study, reports
+
+
+def write_seed_study_md(study):
+    """Append/refresh the seed-distribution section of PARITY.md."""
+    store = os.path.join(os.path.dirname(__file__), "parity_seeds.json")
+    rows = {}
+    if os.path.exists(store):
+        with open(store) as f:
+            rows = json.load(f)
+    rows[study["config"]] = study
+    with open(store, "w") as f:
+        json.dump(rows, f, indent=1)
+
+    def fmt(d, nd=2):
+        return f"{d['mean']:.{nd}f} ± {d['std']:.{nd}f} " \
+               f"[{d['min']:.{nd}f}, {d['max']:.{nd}f}]"
+
+    marker = "## Seed-distribution quality studies"
+    order = [c for c in ("mask", "smpld") if c in rows]
+    lines = [
+        marker,
+        "",
+        "`parity_fit.py --seed_study N`: N independent f64 problems per "
+        "config, each fitted to convergence by BOTH engines.  The staged "
+        "objectives are chaotic past the gate (see above), so any single "
+        "seed's converged loss/residual gap is a draw from the problem's "
+        "intrinsic spread — the equal-quality claim is about the "
+        "distributions.  Values are `mean ± std [min, max]` across seeds; "
+        "`delta` rows are the paired per-seed (jax − torch) differences.",
+        "",
+    ]
+    for c in order:
+        st = rows[c]
+        lines += [
+            f"### {c} config ({st['n_seeds']} seeds, "
+            f"{st['num_verts']}v, {st['n_views']} views, "
+            f"{st['num_iters']} iters, {st['dtype']})",
+            "",
+            "| quantity | jax | torch | paired delta |",
+            "|---|---|---|---|",
+            "| final shared-objective loss | "
+            + fmt(st["final_loss_jax"], 0) + " | "
+            + fmt(st["final_loss_torch"], 0) + " | "
+            + fmt(st["final_loss_rel_delta"], 3) + " (rel) |",
+        ]
+        if c == "mask":
+            lines += [
+                "| keypoint RMS (px) | " + fmt(st["kp_rms_px_jax"])
+                + " | " + fmt(st["kp_rms_px_torch"]) + " | "
+                + fmt(st["kp_rms_px_delta"], 3) + " |",
+                "| contour ICP mean (px) | "
+                + fmt(st["contour_mean_px_jax"]) + " | "
+                + fmt(st["contour_mean_px_torch"]) + " | "
+                + fmt(st["contour_mean_px_delta"], 3) + " |",
+            ]
+        if c == "smpld":
+            lines += [
+                "| scan residual (mm) | "
+                + fmt(st["scan_residual_jax_mm"]) + " | "
+                + fmt(st["scan_residual_torch_mm"]) + " | "
+                + fmt(st["scan_residual_delta_mm"], 3) + " |",
+                "| cross-engine surface deviation (mm) | "
+                + fmt(st["cross_surface_dev_mm"]) + " | — | — |",
+            ]
+            if "seed0_self_scatter" in st:
+                ss = st["seed0_self_scatter"]
+                lines += [
+                    "| seed-0 torch-vs-torch 1-ulp yardstick | "
+                    + ", ".join(f"{k}={v:.2f}" for k, v in ss.items())
+                    + " | | |",
+                ]
+        lines.append("")
+    path = os.path.join(os.path.dirname(__file__), "PARITY.md")
+    with open(path) as f:
+        text = f.read()
+    if marker in text:
+        head, rest = text.split(marker, 1)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1:] if nxt != -1 else ""
+        text = head.rstrip() + ("\n\n" + tail if tail else "\n\n")
+    text = text.rstrip() + "\n\n" + "\n".join(lines) + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -850,6 +1013,11 @@ def main():
                          "1-ulp-perturbed init to measure the problem's "
                          "intrinsic run-to-run spread (doubles the torch "
                          "wall — hours at the published scale)")
+    ap.add_argument("--seed_study", type=int, default=0, metavar="N",
+                    help="run N independent seeds through BOTH engines and "
+                         "publish the per-engine quality distributions "
+                         "(PARITY.md seed-distribution section); implies "
+                         "the config's default scales unless overridden")
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f64",
                     help="f64 isolates engine parity from float-trajectory "
                          "sensitivity (the descent is chaotic in f32)")
@@ -881,6 +1049,42 @@ def main():
     ims = args.imsize or ims
     nmv = args.n_mask_views if args.n_mask_views is not None else nmv
     cp = args.contour_points or cp
+
+    if args.seed_study:
+        study, seed_reports = run_seed_study(
+            cfg, args.seed_study, nv, vw, it, ims, nmv, cp,
+            dtype_str=args.dtype,
+        )
+        print(json.dumps(study, indent=2), file=sys.stderr)
+        if args.emit_report:
+            print(json.dumps(study))
+            return 0
+        if args.dtype == "f64":
+            write_seed_study_md(study)
+        # equal-quality verdict: paired deltas carry no systematic bias
+        # larger than the across-seed spread (and a 10% relative floor
+        # for metrics whose spread collapses)
+        if cfg == "mask":
+            checks = ["kp_rms_px", "contour_mean_px"]
+            ok = all(
+                abs(study[k + "_delta"]["mean"])
+                < max(study[k + "_torch"]["std"],
+                      0.10 * abs(study[k + "_torch"]["mean"]))
+                for k in checks
+            )
+        elif cfg == "smpld":
+            d = study["scan_residual_delta_mm"]
+            t = study["scan_residual_torch_mm"]
+            ok = abs(d["mean"]) < max(
+                2.0 * t["std"], 0.25 * abs(t["mean"]), 1.0
+            )
+        else:
+            ok = abs(study["final_loss_rel_delta"]["mean"]) < 0.05
+        print(json.dumps({
+            "seed_study": cfg, "n_seeds": args.seed_study,
+            "quality_distributions_overlap": bool(ok),
+        }))
+        return 0 if ok else 1
 
     reports = [run_parity(nv, vw, it, dtype_str=args.dtype, fit_config=cfg,
                           imsize=ims, n_mask_views=nmv, contour_points=cp,
