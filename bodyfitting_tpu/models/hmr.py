@@ -171,6 +171,13 @@ def convert_torch_checkpoint(state_dict: dict, variables: dict) -> dict:
     """
     if "model" in state_dict and isinstance(state_dict["model"], dict):
         state_dict = state_dict["model"]
+    from bodyfitting_tpu.tools.manifests import (
+        expected_hmr_state_dict,
+        verify_or_raise,
+    )
+
+    required, optional = expected_hmr_state_dict(variables)
+    verify_or_raise(state_dict, required, optional, "SPIN HMR checkpoint")
     sd = {
         k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
         for k, v in state_dict.items()

@@ -181,6 +181,13 @@ def convert_lbam_torch(state_dict: dict, variables: dict) -> dict:
     """Map the released LBAM state dict onto the Flax tree."""
     import flax
 
+    from bodyfitting_tpu.tools.manifests import (
+        expected_lbam_state_dict,
+        verify_or_raise,
+    )
+
+    required, optional = expected_lbam_state_dict(variables)
+    verify_or_raise(state_dict, required, optional, "LBAM checkpoint")
     sd = {
         k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
                       else v)

@@ -174,6 +174,17 @@ def convert_openpose_torch(state_dict: dict, variables: dict) -> dict:
     """
     import flax
 
+    from bodyfitting_tpu.tools.manifests import (
+        expected_openpose_state_dict,
+        normalize_openpose_keys,
+        verify_or_raise,
+    )
+
+    required, optional = expected_openpose_state_dict(variables)
+    verify_or_raise(
+        normalize_openpose_keys(state_dict), required, optional,
+        "OpenPose checkpoint",
+    )
     sd = {}
     for k, v in state_dict.items():
         name = k.split(".")[-2] if "." in k else k

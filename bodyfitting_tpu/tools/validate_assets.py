@@ -14,7 +14,12 @@ Usage::
         [--model_type smplx] [--gmm data/gmm_08.pkl] \
         [--hmr data/model_checkpoint.pt] \
         [--openpose_body body_pose_model.pth] \
-        [--openpose_hand hand_pose_model.pth]
+        [--openpose_hand hand_pose_model.pth] \
+        [--lbam LBAM_NoBN_ParisStreetView.pth]
+
+Checkpoints are first verified STRUCTURALLY against the published
+layer-name+shape manifests (tools/manifests.py) — a wrong or truncated
+file is reported key-by-key before any conversion is attempted.
 
 Exit status 0 iff every requested check passes.
 """
@@ -179,15 +184,47 @@ def validate_gmm(path: str, rep: Report):
               f"{nll_mean:.1f} vs {nll_wild:.1f}")
 
 
+def _structural_check(rep, name, state_dict, required, optional):
+    """Manifest rows: required-tensor coverage, shapes, extra keys."""
+    from bodyfitting_tpu.tools.manifests import check_state_dict
+
+    r = check_state_dict(state_dict, required, optional)
+    rep.check(
+        f"{name}: all {r['n_required']} required tensors present",
+        not r["missing"],
+        "" if not r["missing"] else
+        f"{len(r['missing'])} missing, e.g. {list(r['missing'])[:3]}",
+    )
+    rep.check(
+        f"{name}: tensor shapes match the published architecture",
+        not r["mismatched"],
+        "" if not r["mismatched"] else
+        f"{len(r['mismatched'])} wrong, e.g. "
+        + str({k: v for k, v in list(r['mismatched'].items())[:2]}),
+    )
+    if r["extra"]:
+        rep.info(f"{name}: extra keys ignored",
+                 f"{len(r['extra'])}, e.g. {r['extra'][:3]}")
+    return r["ok"]
+
+
 def validate_hmr(path: str, rep: Report):
-    """HMR checkpoint converts into the Flax ResNet-50+IEF regressor."""
+    """HMR checkpoint: structural manifest check, then conversion."""
     import jax
+    import torch
 
     from bodyfitting_tpu.models import hmr as hmr_mod
+    from bodyfitting_tpu.tools.manifests import expected_hmr_state_dict
 
     model, variables = hmr_mod.init_hmr(jax.random.PRNGKey(0))
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model"] if isinstance(ckpt, dict) and isinstance(
+        ckpt.get("model"), dict) else ckpt
+    required, optional = expected_hmr_state_dict(variables)
+    if not _structural_check(rep, "hmr", sd, required, optional):
+        return
     try:
-        converted = hmr_mod.load_torch_checkpoint(path, variables)
+        converted = hmr_mod.convert_torch_checkpoint(sd, variables)
         rep.check("hmr checkpoint converts", True)
     except Exception as e:  # noqa: BLE001
         rep.check("hmr checkpoint converts", False, str(e)[:120])
@@ -211,16 +248,30 @@ def validate_hmr(path: str, rep: Report):
 
 
 def validate_openpose(path: str, which: str, rep: Report):
-    """OpenPose .pth converts into the Flax body/hand/face nets."""
-    from bodyfitting_tpu.models import openpose as op
+    """OpenPose .pth: structural manifest check, then conversion."""
+    import torch
 
-    loaders = {
-        "body": op.load_body_net,
-        "hand": op.load_hand_net,
-        "face": op.load_face_net,
+    from bodyfitting_tpu.models import openpose as op
+    from bodyfitting_tpu.tools.manifests import (
+        expected_openpose_state_dict,
+        normalize_openpose_keys,
+    )
+
+    inits = {
+        "body": op.init_body_net,
+        "hand": op.init_hand_net,
+        "face": op.init_face_net,
     }
+    model, variables = inits[which]()
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    required, optional = expected_openpose_state_dict(variables)
+    if not _structural_check(
+        rep, f"openpose {which}", normalize_openpose_keys(sd),
+        required, optional,
+    ):
+        return
     try:
-        model, variables = loaders[which](path)
+        variables = op.convert_openpose_torch(sd, variables)
         rep.check(f"openpose {which} net converts", True)
     except Exception as e:  # noqa: BLE001
         rep.check(f"openpose {which} net converts", False, str(e)[:120])
@@ -238,6 +289,34 @@ def validate_openpose(path: str, which: str, rep: Report):
     )
 
 
+def validate_lbam(path: str, rep: Report):
+    """LBAM inpainter .pth: structural manifest check, then conversion
+    and a finite-output probe."""
+    import torch
+
+    from bodyfitting_tpu.models import inpaint as lbam
+    from bodyfitting_tpu.tools.manifests import expected_lbam_state_dict
+
+    inp = lbam.Inpainter()
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    required, optional = expected_lbam_state_dict(inp.variables)
+    if not _structural_check(rep, "lbam", sd, required, optional):
+        return
+    try:
+        inp.variables = lbam.convert_lbam_torch(sd, inp.variables)
+        rep.check("lbam checkpoint converts", True)
+    except Exception as e:  # noqa: BLE001
+        rep.check("lbam checkpoint converts", False, str(e)[:120])
+        return
+    img = np.full((64, 64, 3), 128, np.uint8)
+    mask = np.zeros((64, 64, 3), np.uint8)
+    mask[16:48, 16:48] = 255
+    out = inp(img, mask)
+    rep.check("lbam inpaints finite values in [0,1]",
+              np.isfinite(out).all() and out.min() >= 0
+              and out.max() <= 1.0)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
@@ -250,6 +329,7 @@ def main(argv=None):
     ap.add_argument("--openpose_body", help="body_pose_model.pth")
     ap.add_argument("--openpose_hand", help="hand_pose_model.pth")
     ap.add_argument("--openpose_face", help="face net .pth")
+    ap.add_argument("--lbam", help="LBAM_NoBN_ParisStreetView.pth")
     args = ap.parse_args(argv)
 
     rep = Report()
@@ -268,6 +348,9 @@ def main(argv=None):
         if p:
             any_given = True
             validate_openpose(p, which, rep)
+    if args.lbam:
+        any_given = True
+        validate_lbam(args.lbam, rep)
     if not any_given:
         ap.error("give at least one asset to validate")
     rep.dump()
