@@ -81,6 +81,12 @@ class FitConfig:
     # returned vertices still come from the full model.  Auto-disabled
     # when use_mask/use_mesh need full vertices per iteration.
     reduce_joints_only: bool = True
+    # Accumulate the keypoint terms over blocks of this many views
+    # (0 = all views at once).  Identical objective (re-associated sum);
+    # caps the per-iteration [B, V, K, *] transient at long frame
+    # batches — the direct fix for the 600-1200-frame scaling cliff
+    # (BENCH_NOTES batch-scaling table).
+    view_chunk: int = 0
     # lax.scan unroll factor for the Adam loops.  Measured NO-WIN on the
     # latency-bound headline shape (BENCH_NOTES: 150fx48vx600, walls flat
     # at unroll 1/2/4/8) — the per-step latency is op scheduling inside
@@ -244,6 +250,7 @@ def fit_loss(
         shape_prior_weight=config.shape_prior_weight,
         use_hand_face=use_hand_face,
         num_views_used=obs.num_views_used,
+        view_chunk=config.view_chunk,
     )
 
     gate = config.num_iters // config.stage_gate_den

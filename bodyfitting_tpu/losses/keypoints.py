@@ -75,6 +75,7 @@ def multiview_keypoint_loss(
     shape_prior_weight: float = 5.0,
     use_hand_face: bool = False,
     num_views_used=None,
+    view_chunk: int = 0,
 ) -> tuple[jax.Array, dict]:
     """Total multi-view keypoint objective for one frame.
 
@@ -94,6 +95,15 @@ def multiview_keypoint_loss(
         by the caller's wrapper (reference loss.py:207).
       betas: ``[S]`` shape coefficients.
       pose_prior_fn: callable ``[69] -> scalar`` negative log-likelihood.
+      view_chunk: when > 0 and a divisor of ``Vw``, accumulate the
+        per-view reprojection terms over blocks of ``view_chunk`` views
+        with a rematerialized ``lax.scan`` body instead of one vmap over
+        all views.  Mathematically identical (a re-associated sum); the
+        point is memory: under frame-batched ``vmap`` the all-views
+        transient is ``[B, Vw, K, 2]`` per iteration and stops staying
+        on-chip at long sequences (B >= ~600) — chunking caps it at
+        ``[B, view_chunk, K, 2]`` and the checkpointed body recomputes
+        projections in the backward pass (cheap next to the LBS forward).
 
     Returns ``(scalar_loss, dict_of_terms)``.
     """
@@ -128,11 +138,41 @@ def multiview_keypoint_loss(
         )
         return body, lh + rh, face
 
-    body_l, hand_l, face_l = jax.vmap(per_view)(w2cs, Ks, keypoints)
-    body_loss = jnp.sum(body_l * view_mask) / num_views
+    Vw = w2cs.shape[0]
+    if view_chunk and 0 < view_chunk < Vw and Vw % view_chunk == 0:
+        nc = Vw // view_chunk
+
+        @jax.checkpoint
+        def chunk_sums(w2c_c, K_c, kp_c, vm_c):
+            b, h, f = jax.vmap(per_view)(w2c_c, K_c, kp_c)
+            return (
+                jnp.sum(b * vm_c), jnp.sum(h * vm_c), jnp.sum(f * vm_c),
+            )
+
+        def scan_body(acc, blk):
+            b, h, f = chunk_sums(*blk)
+            return (acc[0] + b, acc[1] + h, acc[2] + f), None
+
+        blocks = (
+            w2cs.reshape(nc, view_chunk, 4, 4),
+            Ks.reshape(nc, view_chunk, 3, 3),
+            keypoints.reshape(nc, view_chunk, *keypoints.shape[1:]),
+            view_mask.reshape(nc, view_chunk),
+        )
+        (body_sum, hand_sum, face_sum), _ = jax.lax.scan(
+            scan_body,
+            (jnp.zeros(()), jnp.zeros(()), jnp.zeros(())),
+            blocks,
+        )
+        body_loss = body_sum / num_views
+        hand_loss = hand_sum / num_views
+        face_loss = face_sum / num_views
+    else:
+        body_l, hand_l, face_l = jax.vmap(per_view)(w2cs, Ks, keypoints)
+        body_loss = jnp.sum(body_l * view_mask) / num_views
+        hand_loss = jnp.sum(hand_l * view_mask) / num_views
+        face_loss = jnp.sum(face_l * view_mask) / num_views
     loss_2d = body_loss
-    hand_loss = jnp.sum(hand_l * view_mask) / num_views
-    face_loss = jnp.sum(face_l * view_mask) / num_views
     if use_hand_face:
         loss_2d = loss_2d + hand_loss + face_loss
 

@@ -391,3 +391,74 @@ def test_silhouette_onehot_tail_matches_gather_oracle(rng):
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(gn), rtol=1e-5, atol=1e-6
     )
+
+
+def test_multiview_keypoint_loss_view_chunked_matches_unchunked(rng):
+    """view_chunk accumulates identical loss AND joint-gradients (it is
+    the same sum re-associated over view blocks; the cliff fix must not
+    change the objective)."""
+    K = jnp.array([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
+    nviews = 8
+    th = jnp.linspace(0.0, 2 * np.pi, nviews, endpoint=False)
+    w2cs = jnp.stack([jnp.eye(4)] * nviews)
+    w2cs = w2cs.at[:, 0, 0].set(jnp.cos(th)).at[:, 0, 2].set(jnp.sin(th))
+    w2cs = w2cs.at[:, 2, 0].set(-jnp.sin(th)).at[:, 2, 2].set(jnp.cos(th))
+    w2cs = w2cs.at[:, 2, 3].set(2.5)
+    Ks = jnp.stack([K] * nviews)
+    joints = jnp.asarray(
+        rng.normal(scale=0.3, size=(135, 3)), jnp.float32)
+    kps = jnp.asarray(rng.uniform(50, 450, size=(nviews, 135, 3)),
+                      jnp.float32)
+    vm = jnp.asarray([1, 1, 1, 0, 1, 1, 0, 1], jnp.float32)
+    pose = jnp.asarray(rng.normal(scale=0.2, size=69), jnp.float32)
+    betas = jnp.asarray(rng.normal(size=10), jnp.float32)
+    prior = lambda p: jnp.sum(p * p)  # noqa: E731
+
+    def loss(j, chunk):
+        total, _ = losses.multiview_keypoint_loss(
+            w2cs, Ks, kps, vm, j, pose, betas, prior,
+            use_hand_face=True, view_chunk=chunk,
+        )
+        return total
+
+    for chunk in (2, 4, 8):
+        l0, g0 = jax.value_and_grad(lambda j: loss(j, 0))(joints)
+        lc, gc = jax.value_and_grad(lambda j: loss(j, chunk))(joints)
+        np.testing.assert_allclose(float(l0), float(lc), rtol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(g0), np.asarray(gc), rtol=1e-4, atol=1e-6)
+    # non-divisor chunk falls back to the unchunked path
+    l3 = loss(joints, 3)
+    np.testing.assert_allclose(float(l3), float(loss(joints, 0)), rtol=0)
+
+
+def test_fit_with_view_chunk_matches_reference_path(rng):
+    """A short jitted fit with view_chunk on equals the default path to
+    float tolerance (same objective through the whole Adam loop)."""
+    from bodyfitting_tpu.fitting import smplify
+    from bodyfitting_tpu.models import body_model as bm
+    from bodyfitting_tpu.ops.camera import ring_cameras
+
+    model = bm.synthetic_model("smplx", num_verts=256, seed=3)
+    gt = bm.forward(model, bm.BodyParams.zeros(model))
+    cs = jnp.asarray(0.3)
+    w2cs = ring_cameras(6, gt.joints.mean(0) * cs, radius=3.0)
+    K = jnp.array([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
+    Ks = jnp.stack([K] * 6)
+    kps = jnp.asarray(rng.uniform(100, 400, size=(6, 135, 3)), jnp.float32)
+    obs = smplify.Observations(
+        w2cs=w2cs, Ks=Ks, keypoints=kps, view_mask=jnp.ones(6),
+        constant_scale=cs,
+    )
+    init = smplify.FitParams.init(model)
+    zero_prior = lambda p: jnp.zeros(p.shape[:-1], p.dtype)  # noqa: E731
+    res = {}
+    for chunk in (0, 2):
+        config = smplify.FitConfig(
+            num_iters=25, imsize=512.0, view_chunk=chunk)
+        _, result, ls = jax.jit(
+            lambda o, i, cf=config: smplify.fit(model, cf, o, i, zero_prior)
+        )(obs, init)
+        res[chunk] = (np.asarray(result["vertices"]), np.asarray(ls))
+    np.testing.assert_allclose(res[0][1], res[2][1], rtol=2e-5)
+    np.testing.assert_allclose(res[0][0], res[2][0], rtol=1e-3, atol=1e-5)
