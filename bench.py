@@ -90,9 +90,13 @@ def bench_jax(batch_frames: int, n_views: int, iters: int):
     return frame_fits_per_sec, dt
 
 
-def bench_torch_baseline(n_views: int, iters: int = 6):
+def bench_torch_baseline(n_views: int, iters: int = 30):
     """Reference-style torch loop on the same 48-view workload: batch 1,
     per-view Python loss loop, full-V LBS fwd+bwd per iteration.
+
+    30 timed iterations (~2-3s wall at the measured 11-16 it/s) so the
+    headline ratio rests on a real sample rather than a 6-iteration
+    extrapolation (VERDICT r3 item 10).
 
     Uses the SAME torch re-enactment the parity harness validates
     (fitting/torch_reference.py, bit-level forward agreement with the JAX

@@ -83,3 +83,38 @@ def timed_scan(step_fn, *args, runs: int = 50, warmups: int = 2,
 
     res = timed_launches(run, warmups=warmups, runs=timed)
     return res.median / runs
+
+
+def timed_fit_repeats(fit_losses_fn, obs, *, repeats: int = 4,
+                      warmups: int = 1, runs: int = 3) -> TimedResult:
+    """Per-fit wall via ``repeats`` full fits inside ONE jitted lax.scan.
+
+    ``fit_losses_fn(obs) -> losses`` runs one complete fit and returns its
+    loss trace.  Each scan repeat perturbs ``obs.keypoints`` by a distinct
+    salted offset (fresh inputs — the tunnel caches repeat-identical
+    work), the scan carry sums the traces (forces sequential execution and
+    gives a host-fetchable scalar), and the launch overhead + tunnel
+    session variance amortize over ``repeats`` — the session-invariant
+    protocol of ``bench_skinning.timed_scan`` applied at fit granularity
+    (VERDICT r3 item 6).  Returned walls are per-fit (already / repeats).
+    """
+    import dataclasses
+
+    def body(c, r):
+        o = dataclasses.replace(obs, keypoints=obs.keypoints + r)
+        losses = fit_losses_fn(o)
+        return c + jnp.sum(losses), None
+
+    f = jax.jit(
+        lambda s: jax.lax.scan(
+            body, jnp.zeros(()), s + jnp.arange(1.0, repeats + 1.0)
+        )[0]
+    )
+
+    def run(off):
+        float(f(jnp.full((), off)))
+
+    res = timed_launches(run, warmups=warmups, runs=runs)
+    return TimedResult(
+        res.median / repeats, [w / repeats for w in res.walls], res.first
+    )

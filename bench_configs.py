@@ -83,33 +83,33 @@ def _obs(model, rng, n_views=4, n_frames=1, use_mask=False, scan=None):
     return obs
 
 
-def _time_fit(model, config, obs, init, prior, batched, iters, label):
-    import dataclasses
-
+def _time_fit(model, config, obs, init, prior, batched, iters, label,
+              repeats=4):
     from bodyfitting_tpu.fitting import smplify
 
     if batched:
-        fit = jax.jit(jax.vmap(
-            lambda o, i: smplify.fit(model, config, o, i, prior)
-        ))
+        def fit_losses(o):
+            return jax.vmap(
+                lambda oo, i: smplify.fit(model, config, oo, i, prior)[2]
+            )(o, init)
     else:
-        fit = jax.jit(
-            lambda o, i: smplify.fit(model, config, o, i, prior)
-        )
-    from bench_common import timed_launches
+        def fit_losses(o):
+            return smplify.fit(model, config, o, init, prior)[2]
 
-    def run(off):
-        o = dataclasses.replace(obs, keypoints=obs.keypoints + off)
-        _, _, losses = fit(o, init)
-        float(losses.sum())
+    from bench_common import timed_fit_repeats
 
-    res = timed_launches(run, warmups=1)
+    # session-invariant protocol: `repeats` whole fits inside one jitted
+    # scan with salted fresh inputs, fetch-synced; per-launch dispatch and
+    # tunnel-session variance amortize over the repeats (VERDICT r3 #6)
+    res = timed_fit_repeats(fit_losses, obs, repeats=repeats)
     dt, compile_s = res.median, res.first
     n_frames = obs.keypoints.shape[0] if batched else 1
     print(
         f"{label}: {iters} iters x {n_frames} frames in {dt * 1e3:.0f}ms "
         f"({iters / dt:.0f} it/s/frame, compile {compile_s:.0f}s, "
-        f"{n_frames * (iters / dt) / 600:.2f} 600-iter fits/s/chip)"
+        f"x{repeats} in-program repeats, walls "
+        + "/".join(f"{w * 1e3:.0f}ms" for w in res.walls)
+        + f", {n_frames * (iters / dt) / 600:.2f} 600-iter fits/s/chip)"
     )
     return dt
 
@@ -257,6 +257,11 @@ def main():
         help="run only these configs (default: all)",
     )
     ap.add_argument(
+        "--batch3b", type=int, nargs="*", default=[8],
+        help="frame batch size(s) for config 3b (the latency-bound "
+             "staged step amortizes over frames; sweep e.g. 8 32 64)",
+    )
+    ap.add_argument(
         "--baseline", action="store_true",
         help="also measure the torch re-enactment of the reference loop "
              "structure per config (1-CPU host; run nothing else "
@@ -336,7 +341,6 @@ def main():
             extract_contours, resample_contours,
         )
 
-        B3 = 8
         obs3b = _obs(smplx, rng, n_views=48)
         masks = np.zeros((8, 512, 512), np.float32)
         masks[:, 100:400, 180:330] = 255
@@ -350,18 +354,19 @@ def main():
             contours=jnp.asarray(contours),
             contour_valid=jnp.asarray(weights),
         )
-        obs3b = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (B3,) + x.shape), obs3b
-        )
-        init3b = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (B3,) + x.shape),
-            smplify.FitParams.init(smplx),
-        )
         cfg3b = smplify.FitConfig(num_iters=iters, use_mask=True)
-        _time_fit(
-            smplx, cfg3b, obs3b, init3b, prior, True, iters,
-            f"config3b smplx batch{B3} 48-view + 8 GT masks",
-        )
+        for B3 in cli.batch3b:
+            obs_b = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (B3,) + x.shape), obs3b
+            )
+            init_b = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (B3,) + x.shape),
+                smplify.FitParams.init(smplx),
+            )
+            _time_fit(
+                smplx, cfg3b, obs_b, init_b, prior, True, iters,
+                f"config3b smplx batch{B3} 48-view + 8 GT masks",
+            )
 
     # config 4: SMPL+D scan fit (SDF and exact)
     if want("4"):

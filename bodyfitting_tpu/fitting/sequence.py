@@ -108,12 +108,12 @@ def fit_sequence(
     opt_state = tx.init(init_batched)
 
     # same model reduction as smplify.fit so per-frame trajectories agree
-    loss_model, joints_model = smplify.loss_models(model, config)
+    loss_model, joints_model, mask_rows = smplify.loss_models(model, config)
 
     per_frame_loss = jax.vmap(
         lambda p, o, step: smplify.fit_loss(
             loss_model, config, p, o, step, pose_prior_fn,
-            joints_model=joints_model,
+            joints_model=joints_model, mask_vertex_rows=mask_rows,
         )[0],
         in_axes=(0, 0, None),
     )

@@ -219,6 +219,7 @@ def fit_loss(
     step: jax.Array,
     pose_prior_fn,
     joints_model: Optional[bm.BodyModel] = None,
+    mask_vertex_rows: Optional[jax.Array] = None,
 ):
     """Total staged loss at a given iteration (one frame).
 
@@ -227,6 +228,13 @@ def fit_loss(
     only inside the gated mask/mesh branch, so the first
     ``num_iters // stage_gate_den`` iterations of mask/mesh fits are
     vertex-free too.
+
+    ``mask_vertex_rows`` (optional, from :func:`bm.reduce_for_rows`)
+    marks ``model`` as a merged reduction that already carries the
+    every-4th vertex rows the silhouette term reads: the mask loss then
+    consumes ``out.vertices[mask_vertex_rows]`` from the SAME forward as
+    the keypoint term (stride 1) instead of a second full-V forward —
+    one short LBS chain per step (see :func:`loss_models`).
     """
     jm = joints_model if joints_model is not None else model
 
@@ -257,7 +265,17 @@ def fit_loss(
     late = step > gate
 
     if config.use_mask or config.use_mesh:
-        if joints_model is None:
+        mask_stride = 4                     # reference loss.py:94 [::4]
+        if mask_vertex_rows is not None:
+            # merged reduction (mask-only): the one forward above already
+            # computed the strided rows the silhouette reads
+            mask_stride = 1
+
+            def get_vertices():
+                return (
+                    out.vertices[mask_vertex_rows] + params.global_transl
+                ) * scale
+        elif joints_model is None:
             # same forward serves both terms (single-model callers)
             body_vertices = (out.vertices + params.global_transl) * scale
             get_vertices = lambda: body_vertices  # noqa: E731
@@ -277,7 +295,8 @@ def fit_loss(
             if config.use_mask:
                 mask_l = silhouette_loss(
                     obs.contours, obs.contour_valid, obs.masks,
-                    obs.mask_w2cs, obs.mask_Ks, verts, imsize=config.imsize,
+                    obs.mask_w2cs, obs.mask_Ks, verts,
+                    imsize=config.imsize, vertex_stride=mask_stride,
                 )
             if config.use_mesh:
                 if use_sdf:
@@ -307,22 +326,36 @@ def fit_loss(
 
 
 def loss_models(model: bm.BodyModel, config: FitConfig):
-    """The ``(loss_model, joints_model)`` pair every fit loop must use so
-    trajectories agree across entry points (fit / fit_resumable /
-    sequence fits): with ``reduce_joints_only``, the keypoint term runs
-    on the joints-reduced model and the full-vertex forward only inside
-    the gated mask/mesh branch."""
+    """The ``(loss_model, joints_model, mask_rows)`` triple every fit loop
+    must use so trajectories agree across entry points (fit /
+    fit_resumable / sequence fits).  With ``reduce_joints_only``:
+
+    * keypoint-only fits run on the joints-reduced model;
+    * mask-only fits (GeneBody's production ``--use_mask``) run on ONE
+      reduced model that also keeps the every-4th vertex rows the
+      silhouette loss reads (``reduce_for_rows``) — ``mask_rows`` indexes
+      them — so each step has a single short LBS chain instead of a
+      joints-reduced forward plus a full-V forward in the gated branch;
+    * mesh fits keep the full model for vertices (the point-cloud term
+      reads all of them) with the joints-reduced model for keypoints.
+    """
     loss_model = model
     joints_model = None
+    mask_rows = None
     if config.reduce_joints_only:
         try:
             # Static host-side reduction; requires concrete model arrays
             # (the normal case: the model is closed over, not a jit arg).
-            reduced = bm.reduce_for_joints(model)
-            if config.use_mask or config.use_mesh:
-                joints_model = reduced
+            if config.use_mask and not config.use_mesh:
+                import numpy as np
+
+                loss_model, mask_rows = bm.reduce_for_rows(
+                    model, np.arange(0, model.num_verts, 4)
+                )
+            elif config.use_mesh:
+                joints_model = bm.reduce_for_joints(model)
             else:
-                loss_model = reduced
+                loss_model = bm.reduce_for_joints(model)
         except jax.errors.TracerArrayConversionError:
             # f32 trajectories are chaotic (CLAUDE.md), so silently
             # forking reduced/unreduced per call style would be invisible
@@ -338,7 +371,7 @@ def loss_models(model: bm.BodyModel, config: FitConfig):
                 "FitConfig(reduce_joints_only=False) to silence.",
                 stacklevel=3,
             )
-    return loss_model, joints_model
+    return loss_model, joints_model, mask_rows
 
 
 def fit(
@@ -386,14 +419,14 @@ def make_step_fn(model, config, obs, pose_prior_fn, tx):
     (:func:`fit`, ``checkpointing.fit_resumable``) so chunked/resumed runs
     follow the exact same float32 trajectory (CLAUDE.md: trajectories are
     chaotic — any drift between step implementations changes fits)."""
-    loss_model, joints_model = loss_models(model, config)
+    loss_model, joints_model, mask_rows = loss_models(model, config)
 
     def step_fn(carry, step):
         params, opt_state = carry
         (loss, terms), grads = jax.value_and_grad(
             lambda p: fit_loss(
                 loss_model, config, p, obs, step, pose_prior_fn,
-                joints_model=joints_model,
+                joints_model=joints_model, mask_vertex_rows=mask_rows,
             ),
             has_aux=True,
         )(params)

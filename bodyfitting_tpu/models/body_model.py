@@ -773,6 +773,32 @@ def spin_joint_mapper_for_smpl(model: BodyModel) -> BodyModel:
 # ---------------------------------------------------------------------------
 
 
+def reduce_for_rows(model: BodyModel, vertex_ids):
+    """Joints reduction that ALSO keeps the given full-model vertex rows.
+
+    Returns ``(reduced_model, rows)`` where ``reduced_model`` computes
+    the identical joints as :func:`reduce_for_joints` plus the requested
+    vertex rows (same per-row float ops as the full forward), and
+    ``rows`` are the positions of ``vertex_ids`` inside
+    ``reduced_model``'s vertex axis, i.e.
+    ``reduced.forward(p).vertices[rows] == full.forward(p).vertices[vertex_ids]``
+    row-for-row.
+
+    This is the single-forward engine for mask fits: the silhouette loss
+    reads every-4th vertex (reference loss.py:94 ``vertices[:, ::4]``),
+    so keeping those ~V/4 rows lets the keypoint AND mask terms share one
+    reduced LBS instead of chaining a joints-reduced forward with a
+    second full-V forward inside the gated branch — the staged step's
+    measured bottleneck is sequential-op latency (BENCH_NOTES MFU table),
+    so halving the chain and cutting the vertex rows 4x attacks the wall
+    directly.
+    """
+    vertex_ids = np.asarray(vertex_ids, np.int64)
+    reduced, vids = _reduce_for_vertex_rows(model, vertex_ids)
+    rows = np.searchsorted(vids, vertex_ids)
+    return reduced, jnp.asarray(rows, jnp.int32)
+
+
 def reduce_for_joints(model: BodyModel) -> BodyModel:
     """Shrink a model to the vertex rows its *joints* actually depend on.
 
@@ -800,6 +826,14 @@ def reduce_for_joints(model: BodyModel) -> BodyModel:
     extra-regressor asset, and irrelevant to the fitting losses which read
     the first 25 joints only (reference smplify/loss.py:163).
     """
+    reduced, _ = _reduce_for_vertex_rows(model, np.zeros((0,), np.int64))
+    return reduced
+
+
+def _reduce_for_vertex_rows(model: BodyModel, extra_vertex_ids):
+    """Shared core of :func:`reduce_for_joints` / :func:`reduce_for_rows`:
+    keep the joint-reachable rows plus ``extra_vertex_ids``; returns
+    ``(reduced_model, vids)`` with ``vids`` the sorted kept row ids."""
     faces = np.asarray(model.faces)
     sel = np.asarray(model.selector_ids) if model.selector_ids is not None \
         else np.zeros((0,), np.int32)
@@ -814,8 +848,12 @@ def reduce_for_joints(model: BodyModel) -> BodyModel:
             else np.zeros((0,), np.int64))
     kept_faces = faces[fids]                              # [Fk, 3]
 
-    # Vertex rows reachable from selectors + kept faces, old->new remap.
-    vids = np.unique(np.concatenate([sel.ravel(), kept_faces.ravel()]))
+    # Vertex rows reachable from selectors + kept faces (+ caller-kept
+    # rows), old->new remap.
+    vids = np.unique(np.concatenate([
+        sel.ravel(), kept_faces.ravel(),
+        np.asarray(extra_vertex_ids, np.int64).ravel(),
+    ]))
     vmap_ = np.full((model.num_verts,), -1, np.int64)
     vmap_[vids] = np.arange(len(vids))
 
@@ -894,7 +932,7 @@ def reduce_for_joints(model: BodyModel) -> BodyModel:
         J_shapedirs=fold(model.shapedirs),
         J_exprdirs=fold(model.expr_dirs),
         J_kid_dir=J_kid,
-    )
+    ), vids
 
 
 # ---------------------------------------------------------------------------

@@ -125,3 +125,86 @@ def test_fit_with_reduction_matches_without():
     red = bm.reduce_for_joints(model)
     assert red.num_verts < model.num_verts
     assert red.shapedirs.shape[1] == red.num_verts * 3
+
+
+def test_reduce_for_rows_vertices_match_full():
+    """reduce_for_rows keeps the requested vertex rows bit-comparably to
+    the full forward (same per-row float ops), and its joints equal the
+    joints-only reduction's."""
+    model = bm.synthetic_model("smplx", num_verts=1024, seed=0,
+                               use_face_contour=True)
+    ids = np.arange(0, model.num_verts, 4)
+    red, rows = bm.reduce_for_rows(model, ids)
+    assert red.num_verts < model.num_verts
+    p = _random_params(model, seed=7)
+    full = bm.forward(model, p)
+    rout = bm.forward(red, p)
+    np.testing.assert_allclose(
+        np.asarray(rout.vertices)[np.asarray(rows)],
+        np.asarray(full.vertices)[ids], atol=5e-6)
+    jr = np.asarray(bm.forward(bm.reduce_for_joints(model), p).joints)
+    np.testing.assert_allclose(np.asarray(rout.joints), jr, atol=1e-6)
+
+
+def test_mask_fit_with_merged_reduction_matches_without():
+    """Staged mask fit: the merged single-forward reduction follows the
+    same trajectory as the unreduced path (losses to float tolerance
+    through the gate, converged surfaces equal to chaos tolerance)."""
+    from bodyfitting_tpu.losses.silhouette import (
+        extract_contours, resample_contours,
+    )
+    from bodyfitting_tpu.ops.camera import perspective_projection, ring_cameras
+
+    model = bm.synthetic_model("smplx", num_verts=1024, seed=0,
+                               use_face_contour=True)
+    gt = _random_params(model, seed=11)
+    gj = np.asarray(bm.forward(model, gt).joints) * 0.3
+    n_views = 4
+    w2cs = np.asarray(ring_cameras(n_views, jnp.asarray(gj.mean(0)), 3.0))
+    K = np.array([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]], np.float32)
+    Ks = np.broadcast_to(K, (n_views, 3, 3)).copy()
+    proj = np.asarray(perspective_projection(
+        jnp.asarray(gj)[None].repeat(n_views, 0),
+        jnp.asarray(w2cs[:, :3, :3]), jnp.asarray(w2cs[:, :3, 3]),
+        jnp.asarray(Ks)))
+    kps = np.concatenate(
+        [proj, np.ones(proj.shape[:-1] + (1,), np.float32)], -1)
+
+    H = 256
+    mask = np.zeros((H, H), np.float32)
+    mask[60:200, 90:170] = 1.0
+    contours, valid = extract_contours([mask])
+    rc, rw = resample_contours(contours, valid, 128)
+    obs = smplify.Observations(
+        w2cs=jnp.asarray(w2cs), Ks=jnp.asarray(Ks), keypoints=jnp.asarray(kps),
+        view_mask=jnp.ones((n_views,)), constant_scale=jnp.asarray(0.3),
+        masks=jnp.asarray(mask)[None],
+        mask_w2cs=jnp.asarray(w2cs[:1]), mask_Ks=jnp.asarray(Ks[:1]),
+        contours=jnp.asarray(rc), contour_valid=jnp.asarray(rw),
+    )
+    prior = synthetic_gmm_prior()
+    init = smplify.FitParams.init(model)
+
+    results = {}
+    for reduce in (False, True):
+        config = smplify.FitConfig(
+            num_iters=60, imsize=256.0, use_mask=True,
+            reduce_joints_only=reduce,
+        )
+        _, result, losses = jax.jit(
+            lambda o, i, c=config: smplify.fit(model, c, o, i, prior)
+        )(obs, init)
+        assert np.isfinite(np.asarray(losses)).all()
+        results[reduce] = (np.asarray(result["vertices"]),
+                           np.asarray(losses))
+
+    # pre-gate + early post-gate: same objective to float tolerance
+    gate = 60 // 3 + 1
+    np.testing.assert_allclose(
+        results[True][1][:gate + 10], results[False][1][:gate + 10],
+        rtol=5e-4)
+    # converged surfaces equal to the f32 chaos tolerance of this horizon
+    dv = np.linalg.norm(results[True][0] - results[False][0], axis=-1)
+    body = results[False][0]
+    size = float(body[:, 1].max() - body[:, 1].min())
+    assert dv.mean() < 0.01 * size, (dv.mean(), size)
