@@ -100,19 +100,23 @@ def timed_fit_repeats(fit_losses_fn, obs, *, repeats: int = 4,
     """
     import dataclasses
 
-    def body(c, r):
-        o = dataclasses.replace(obs, keypoints=obs.keypoints + r)
+    def body(ob, c, r):
+        o = dataclasses.replace(ob, keypoints=ob.keypoints + r)
         losses = fit_losses_fn(o)
         return c + jnp.sum(losses), None
 
+    # obs is a jit ARGUMENT, not a closure: broadcast masks/keypoints as
+    # closed-over literals blow the remote-compile request-size limit
+    # (HTTP 413, CLAUDE.md)
     f = jax.jit(
-        lambda s: jax.lax.scan(
-            body, jnp.zeros(()), s + jnp.arange(1.0, repeats + 1.0)
+        lambda ob, s: jax.lax.scan(
+            lambda c, r: body(ob, c, r),
+            jnp.zeros(()), s + jnp.arange(1.0, repeats + 1.0)
         )[0]
     )
 
     def run(off):
-        float(f(jnp.full((), off)))
+        float(f(obs, jnp.full((), off)))
 
     res = timed_launches(run, warmups=warmups, runs=runs)
     return TimedResult(

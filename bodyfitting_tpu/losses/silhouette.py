@@ -45,6 +45,23 @@ def _use_pallas_match() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Stay-inside term implementation: 'xla' = separable one-hot matmuls
+# (materializes [N, H]/[N, W] hinge matrices per frame x view — that HBM
+# traffic bound the production mask fit, r4 ablation); 'pallas' = fused
+# kernel (ops.pallas_kernels.bilinear_cov_grads) that generates the
+# hinges in VMEM and returns value + coverage + position grads in one
+# pass.  'auto' = pallas on TPU.  Trace-time flag, like CONTOUR_MATCH.
+STAY_INSIDE = "auto"
+
+
+def _use_pallas_stay_inside() -> bool:
+    if STAY_INSIDE == "pallas":
+        return True
+    if STAY_INSIDE == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def binarize_mask(mask: np.ndarray) -> np.ndarray:
     """0/1 float32 from a binary/float/uint8 mask.
 
@@ -218,6 +235,103 @@ def _bilinear_sample_onehot_cov(
     return sampled, coverage
 
 
+@jax.custom_vjp
+def _stay_inside_pallas(img: jax.Array, xyhat: jax.Array):
+    """(sampled, coverage) via the fused Pallas kernel; positions in
+    pixel-grid units (pre-scaled).  The kernel's forward already yields
+    the positional derivatives, so the backward is elementwise.  The
+    image cotangent is pinned to zero: masks are observations, never
+    optimized (the loss treats them as constants).  Kink subgradients
+    (|i - y| exactly 0 or 1) follow sign() conventions rather than the
+    XLA hinge's maximum-tie rule — a measure-zero divergence."""
+    s, c, *_ = _stay_inside_fwd_impl(img, xyhat)
+    return s, c
+
+
+def _stay_inside_fwd_impl(img, xyhat):
+    from bodyfitting_tpu.ops.pallas_kernels import bilinear_cov_grads
+
+    out = bilinear_cov_grads(
+        img, xyhat, interpret=jax.default_backend() != "tpu"
+    )
+    return tuple(out)
+
+
+def _stay_inside_fwd(img, xyhat):
+    s, c, ds_dx, ds_dy, dc_dx, dc_dy = _stay_inside_fwd_impl(img, xyhat)
+    return (s, c), (img, ds_dx, ds_dy, dc_dx, dc_dy)
+
+
+def _stay_inside_bwd(res, g):
+    img, ds_dx, ds_dy, dc_dx, dc_dy = res
+    gs, gc = g
+    gx = gs * ds_dx + gc * dc_dx
+    gy = gs * ds_dy + gc * dc_dy
+    return jnp.zeros_like(img), jnp.stack([gx, gy], axis=-1)
+
+
+_stay_inside_pallas.defvjp(_stay_inside_fwd, _stay_inside_bwd)
+
+
+@jax.custom_vjp
+def _contour_matched_pallas(contour, proj, inside_f):
+    """(matched [P, 2], in_match [P]) of the contour->vertex ICP match,
+    via the payload kernel (ops.pallas_kernels.contour_match_full) — no
+    [P, M] one-hot in HBM.  Matching is over INSIDE-projecting vertices
+    only (reference loss.py:96-101).  Gradient: d matched / d proj is
+    row selection; the backward scatters cotangent rows back to the
+    winning vertices (rows_scatter_add).  contour/inside get zero
+    cotangents (the argmin is gradient-stopped, reference loss.py:240
+    semantics; contour's own gradient path — the ICP distance — is
+    outside this op)."""
+    matched, in_match, _ = _contour_matched_fwd_impl(contour, proj, inside_f)
+    return matched, in_match
+
+
+def _contour_matched_fwd_impl(contour, proj, inside_f):
+    from bodyfitting_tpu.ops.pallas_kernels import contour_match_full
+
+    _, idx, matched, in_match = contour_match_full(
+        contour, jax.lax.stop_gradient(proj), inside_f, inside_f,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return matched, in_match, idx
+
+
+def _contour_matched_fwd(contour, proj, inside_f):
+    matched, in_match, idx = _contour_matched_fwd_impl(
+        contour, proj, inside_f
+    )
+    return (matched, in_match), (idx, proj.shape[0], contour, inside_f)
+
+
+def _contour_matched_bwd(res, g):
+    from bodyfitting_tpu.ops.pallas_kernels import rows_scatter_add
+
+    idx, M, contour, inside_f = res
+    g_matched, _ = g
+    dproj = rows_scatter_add(
+        idx, g_matched, M, interpret=jax.default_backend() != "tpu"
+    ).T
+    return jnp.zeros_like(contour), dproj, jnp.zeros_like(inside_f)
+
+
+_contour_matched_pallas.defvjp(_contour_matched_fwd, _contour_matched_bwd)
+
+
+def _stay_inside_cov(img: jax.Array, xy: jax.Array, imsize: float):
+    """Dispatch for the stay-inside sample+coverage pair (see
+    :data:`STAY_INSIDE`).  Both paths implement torch-1.2.0
+    ``grid_sample(img, xy/imsize*2-1)`` zero-padded bilinear taps."""
+    if _use_pallas_stay_inside():
+        H, W = img.shape
+        scale = jnp.asarray(
+            [(W - 1) / imsize, (H - 1) / imsize], img.dtype
+        )
+        return _stay_inside_pallas(img, xy * scale)
+    return _bilinear_sample_onehot_cov(img, xy, imsize)
+
+
 def _separable_bilinear_weights(shape, xy, dtype, imsize):
     """Hinge weight matrices ``(row_w [N, H], col_w [N, W])`` whose outer
     product per point is the zero-padded bilinear tap pattern of
@@ -244,6 +358,7 @@ def silhouette_loss(
     vertex_stride: int = 4,
     epsilon: float = 10.0,
     imsize: float = 512.0,
+    terms: tuple = ("icp", "binary"),
 ) -> jax.Array:
     """Multi-view mask loss for one frame.
 
@@ -253,6 +368,10 @@ def silhouette_loss(
       masks: ``[Vm, H, W]`` float masks in [0, 1].
       w2cs: ``[Vm, 4, 4]``; Ks: ``[Vm, 3, 3]``.
       verts: ``[V, 3]`` SMPL vertices (world, already scaled).
+
+    ``terms`` selects which of the two loss terms to compute ("icp",
+    "binary") — production always uses both; the knob exists for cost
+    attribution in ``bench_mask_ablation.py``.
 
     PADDING CONVENTION: ``contour_valid`` zeroes only the contour-ICP
     term.  The differentiable stay-inside term samples ``1 - mask`` for
@@ -273,41 +392,45 @@ def silhouette_loss(
             (proj[:, 0] >= 0) & (proj[:, 0] < imsize)
             & (proj[:, 1] >= 0) & (proj[:, 1] < imsize)
         )
-        # contour -> model matching: [P, M] squared distances with
-        # gradients stopped (the argmin is non-differentiable anyway);
-        # matched-pair distances are recomputed through a small gather so
-        # the backward never scatters into the [P, M] matrix.
-        proj_ng = jax.lax.stop_gradient(proj)
+        if "icp" not in terms:
+            icp = jnp.zeros((), proj.dtype)
+            sampled, coverage = _stay_inside_cov(mask, proj, imsize)
+            return icp, jnp.sum(coverage - sampled)
+        # contour -> model matching over inside-projecting vertices,
+        # gradients stopped through the argmin (non-differentiable
+        # anyway); matched-pair distances recompute through the match so
+        # the backward never scatters into a [P, M] matrix.
+        H, W = mask.shape
         if _use_pallas_match():
-            from bodyfitting_tpu.ops.pallas_kernels import contour_min_idx
-
-            _, idx = contour_min_idx(
-                contour, proj_ng, inside.astype(proj.dtype)
-            )                                              # [P]
+            # fused kernel returns the payloads directly: no [P, M]
+            # one-hot and no [P, H]/[P, W] selection matrices in HBM
+            # (those were most of the ICP term's wall, r4 ablation)
+            matched, in_match = _contour_matched_pallas(
+                contour, proj, inside.astype(proj.dtype)
+            )
         else:
+            proj_ng = jax.lax.stop_gradient(proj)
             d2 = jnp.sum(
                 (contour[:, None, :] - proj_ng[None, :, :]) ** 2, -1
             )
             d2 = jnp.where(inside[None, :], d2, _BIG)
             idx = jnp.argmin(d2, axis=1)                   # [P]
-        # matched coords / inside flags via an exact one-hot matmul:
-        # point-gathers lower to a slow per-element TPU path (this tail
-        # was most of the ICP term's 3.4 ms/iter, BENCH_NOTES.md); a
-        # single-nonzero-per-row one-hot gives identical values in any
-        # matmul precision and the same gradient (d matched / d proj is
-        # the same row-selection).
-        M = proj.shape[0]
-        onehot = (
-            idx[:, None] == jnp.arange(M, dtype=idx.dtype)[None, :]
-        ).astype(proj.dtype)                               # [P, M]
-        # HIGHEST: the MXU's default-precision operand rounding would
-        # perturb the *coordinates* themselves (~0.1px at 512); with one
-        # nonzero per row HIGHEST reproduces the gather bit-exactly.  The
-        # 0/1-valued products below are exact in any precision.
-        matched = jnp.matmul(
-            onehot, proj, precision=jax.lax.Precision.HIGHEST
-        )                                                  # [P, 2]
-        in_match = onehot @ inside.astype(proj.dtype)      # [P]
+            # matched coords / inside flags via an exact one-hot matmul:
+            # point-gathers lower to a slow per-element TPU path; a
+            # single-nonzero-per-row one-hot gives identical values in
+            # any matmul precision and the same gradient (d matched /
+            # d proj is the same row-selection).
+            M = proj.shape[0]
+            onehot = (
+                idx[:, None] == jnp.arange(M, dtype=idx.dtype)[None, :]
+            ).astype(proj.dtype)                           # [P, M]
+            # HIGHEST: default-precision operand rounding would perturb
+            # the *coordinates* (~0.1px at 512); with one nonzero per
+            # row HIGHEST reproduces the gather bit-exactly.
+            matched = jnp.matmul(
+                onehot, proj, precision=jax.lax.Precision.HIGHEST
+            )                                              # [P, 2]
+            in_match = onehot @ inside.astype(proj.dtype)  # [P]
         mindist = jnp.sqrt(
             jnp.sum((contour - matched) ** 2, -1) + 1e-12
         )
@@ -317,21 +440,35 @@ def silhouette_loss(
         # gradient-free _BIG constant here would explode the loss value
         # (~1.6e7/view) without adding any corrective signal
         mindist = jnp.where(in_match > 0.5, mindist, 0.0)
-        H, W = mask.shape
         mx = jnp.clip(
             jax.lax.stop_gradient(matched[:, 0]).astype(jnp.int32), 0, W - 1
         )
         my = jnp.clip(
             jax.lax.stop_gradient(matched[:, 1]).astype(jnp.int32), 0, H - 1
         )
-        # nearest-sample the mask at the matched pixels, also one-hot
-        rowsel = (
-            my[:, None] == jnp.arange(H, dtype=my.dtype)[None, :]
-        ).astype(mask.dtype)                               # [P, H]
-        colsel = (
-            mx[:, None] == jnp.arange(W, dtype=mx.dtype)[None, :]
-        ).astype(mask.dtype)                               # [P, W]
-        mask_at = jnp.sum((rowsel @ mask) * colsel, axis=-1)
+        if _use_pallas_stay_inside():
+            # nearest-sample at integer pixels == bilinear at those
+            # integer coordinates, exactly (hinge weight 1 at the pixel,
+            # 0 at neighbours; 0/1 mask values are exact in bf16)
+            from bodyfitting_tpu.ops.pallas_kernels import (
+                bilinear_cov_grads,
+            )
+
+            mask_at = bilinear_cov_grads(
+                mask,
+                jnp.stack([mx, my], -1).astype(mask.dtype),
+                interpret=jax.default_backend() != "tpu",
+                with_grads=False,
+            )[0]
+        else:
+            # nearest-sample the mask at the matched pixels, one-hot
+            rowsel = (
+                my[:, None] == jnp.arange(H, dtype=my.dtype)[None, :]
+            ).astype(mask.dtype)                           # [P, H]
+            colsel = (
+                mx[:, None] == jnp.arange(W, dtype=mx.dtype)[None, :]
+            ).astype(mask.dtype)                           # [P, W]
+            mask_at = jnp.sum((rowsel @ mask) * colsel, axis=-1)
         outside_mask = (mask_at < 0.1).astype(proj.dtype)
         coeff = outside_mask * (epsilon - 1.0) + 1.0
         icp = jnp.sum(mindist * coeff * cvalid)
@@ -343,8 +480,11 @@ def silhouette_loss(
         # hoist it; it cost ~4 ms/iter at 8 frames x 8 views): sampling
         # the constant-1 image with separable zero-padded bilinear
         # weights factorizes into rowsum * colsum.
-        sampled, coverage = _bilinear_sample_onehot_cov(mask, proj, imsize)
-        binary = jnp.sum(coverage - sampled)
+        if "binary" in terms:
+            sampled, coverage = _stay_inside_cov(mask, proj, imsize)
+            binary = jnp.sum(coverage - sampled)
+        else:
+            binary = jnp.zeros((), proj.dtype)
         return icp, binary
 
     icp, binary = jax.vmap(per_view)(w2cs, Ks, contours, contour_valid, masks)

@@ -1077,3 +1077,298 @@ def skinning_xla(weights: jax.Array, A12: jax.Array,
     )
     T = T.reshape(weights.shape[0], 3, 4)
     return jnp.einsum("vij,vj->vi", T[:, :, :3], v_posed) + T[:, :, 3]
+
+
+# ---------------------------------------------------------------------------
+# Stay-inside bilinear sampling (silhouette loss)
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_cov_kernel(xy_ref, img_ref, out_ref, *, H, W,
+                         with_grads=True):
+    """One point-tile of :func:`bilinear_cov_grads`.
+
+    The separable zero-padded bilinear weights (``max(0, 1-|i-y|)``
+    hinges — identical taps to torch-1.2.0 grid_sample with
+    align_corners=True semantics) are GENERATED in VMEM per tile and
+    contracted against the VMEM-resident image immediately: the
+    ``[N, H]``/``[N, W]`` weight matrices never exist in HBM.  The same
+    two MXU contractions (``rw @ img`` and ``drw @ img``) also yield the
+    y-derivative, so the forward pass computes the sampled value, the
+    constant-1 coverage, and all four positional derivatives at once and
+    the custom-vjp backward is pure elementwise math.
+
+    Matmul operands are cast to bf16 (f32 accumulation): the XLA
+    equivalent (`losses.silhouette._bilinear_sample_onehot_cov`) runs its
+    dots at default precision, which is the same bf16 operand rounding.
+    """
+    x = xy_ref[:, 0:1]                                    # [tN, 1]
+    y = xy_ref[:, 1:2]
+    img = img_ref[:]                                      # [H, W] bf16
+    dt = xy_ref.dtype
+    # Mosaic iota is integer-only; cast to the compute dtype after
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1).astype(dt)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(dt)
+    ady = jnp.abs(iy - y)                                 # [tN, H]
+    adx = jnp.abs(ix - x)                                 # [tN, W]
+    rw = jnp.maximum(0.0, 1.0 - ady)
+    cw = jnp.maximum(0.0, 1.0 - adx)
+    bf = jnp.bfloat16
+    rows = jnp.dot(rw.astype(bf), img,
+                   preferred_element_type=jnp.float32)    # [tN, W]
+    rows = rows.astype(dt)
+    s = jnp.sum(rows * cw, axis=1)                        # sampled
+    rsum = jnp.sum(rw, axis=1)
+    csum = jnp.sum(cw, axis=1)
+    cov = rsum * csum                                     # coverage
+    # NOTE: every output row must be a lane-reduction-shaped [tN] value
+    # with a common layout: analytic closed-form coverage (elementwise
+    # [tN]) and floor one-hot u/v reformulations (U/V matmuls with
+    # drows = V - U free) were both tried — the first trips a Mosaic
+    # concat-layout bug, and both measured SLOWER than this form
+    # (11.8-13.0 vs 10.4 ms/iter at the production batch).
+    z = jnp.zeros_like(s)
+    if not with_grads:
+        out_ref[:] = jnp.stack([s, cov, z, z, z, z, z, z], axis=0)
+        return
+    # d rw / dy = sign(i - y) on the open support of the hinge.  (At the
+    # kinks |i-y| in {0, 1} autodiff of the XLA hinge picks subgradients
+    # 0 / 0.5; measure-zero divergence, documented in the wrapper.)
+    drw = jnp.where(rw > 0.0, jnp.sign(iy - y), 0.0)
+    dcw = jnp.where(cw > 0.0, jnp.sign(ix - x), 0.0)
+    drows = jnp.dot(drw.astype(bf), img,
+                    preferred_element_type=jnp.float32)
+    drows = drows.astype(dt)
+    ds_dx = jnp.sum(rows * dcw, axis=1)
+    ds_dy = jnp.sum(drows * cw, axis=1)
+    dc_dx = rsum * jnp.sum(dcw, axis=1)
+    dc_dy = jnp.sum(drw, axis=1) * csum
+    out_ref[:] = jnp.stack(
+        [s, cov, ds_dx, ds_dy, dc_dx, dc_dy, z, z], axis=0,
+    )
+
+
+def bilinear_cov_grads(
+    img: jax.Array,
+    xy: jax.Array,
+    point_tile: int = 256,
+    interpret: bool = False,
+    with_grads: bool = True,
+):
+    """Fused zero-padded bilinear sample + coverage + position gradients.
+
+    img ``[H, W]``; xy ``[N, 2]`` sample positions in PIXEL-GRID units
+    (already scaled by ``(size-1)/imsize``).  Returns ``[6, N]``: sampled
+    value, coverage (the same sample of a constant-1 image), and their
+    x/y derivatives (zeros with ``with_grads=False`` — value-only mode
+    skips the derivative matmul, e.g. for stop-gradient floor sampling).
+    Values match the XLA one-hot formulation
+    (`losses.silhouette._bilinear_sample_onehot_cov`) which materializes
+    [N, H]/[N, W] hinge matrices through HBM per (frame, view) — that
+    traffic, not the MXU, bound the production mask fit (r4 ablation:
+    the stay-inside term was 70%% of the staged step).
+    """
+    N = xy.shape[0]
+    H, W = img.shape
+    nt = _cdiv(max(N, 1), point_tile)
+    npad = nt * point_tile - N
+    if npad:
+        # padded points sit far outside the hinge support: all-zero rows
+        xy = jnp.concatenate(
+            [xy, jnp.full((npad, 2), -4.0, xy.dtype)]
+        )
+    # operand cast hoisted out of the kernel: the image is loop-constant
+    # in the fit scan, so the bf16 copy is made once, not per grid step,
+    # and the VMEM-resident block halves
+    img_bf = img.astype(jnp.bfloat16)
+    outs = pl.pallas_call(
+        functools.partial(_bilinear_cov_kernel, H=H, W=W,
+                          with_grads=with_grads),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((point_tile, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, point_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, nt * point_tile), xy.dtype),
+        interpret=interpret,
+    )(xy, img_bf)
+    return outs[:6, :N]
+
+
+# ---------------------------------------------------------------------------
+# Contour ICP matching with payloads (silhouette loss)
+# ---------------------------------------------------------------------------
+
+
+def _contour_match_full_kernel(c_ref, p_ref, d2_ref, idx_ref, px_ref,
+                               py_ref, in_ref):
+    """contour_min_idx plus running payloads: the winning candidate's
+    coordinates and inside-flag are selected per block via a VMEM one-hot
+    (never materialized to HBM — the XLA tail built a [P, M] one-hot
+    through HBM per frame x view, ~4 GB/iter at production batch)."""
+    j = pl.program_id(1)
+    mb = p_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        d2_ref[:] = jnp.full_like(d2_ref, _FAR)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+        px_ref[:] = jnp.zeros_like(px_ref)
+        py_ref[:] = jnp.zeros_like(py_ref)
+        in_ref[:] = jnp.zeros_like(in_ref)
+
+    cx = c_ref[:, 0:1]                                    # [P, 1]
+    cy = c_ref[:, 1:2]
+    px = p_ref[0:1, :]                                    # [1, MB]
+    py = p_ref[1:2, :]
+    big = p_ref[2:3, :]                                   # _FAR where invalid
+    ins = p_ref[3:4, :]                                   # inside flag
+
+    dx = cx - px
+    dy = cy - py
+    d2 = dx * dx + dy * dy + big                          # [P, MB]
+
+    arg = jnp.argmin(d2, axis=1)                          # [P]
+    mind = jnp.min(d2, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    oh = (lane == arg[:, None]).astype(d2.dtype)          # [P, MB] VMEM only
+    bpx = jnp.sum(oh * px, axis=1)
+    bpy = jnp.sum(oh * py, axis=1)
+    bin_ = jnp.sum(oh * ins, axis=1)
+    cur = d2_ref[:, 0]
+    better = mind < cur
+    d2_ref[:, 0] = jnp.where(better, mind, cur)
+    idx_ref[:, 0] = jnp.where(
+        better, j * mb + arg.astype(jnp.int32), idx_ref[:, 0]
+    )
+    px_ref[:, 0] = jnp.where(better, bpx, px_ref[:, 0])
+    py_ref[:, 0] = jnp.where(better, bpy, py_ref[:, 0])
+    in_ref[:, 0] = jnp.where(better, bin_, in_ref[:, 0])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("point_block", "interpret")
+)
+def contour_match_full(
+    contour: jax.Array,
+    proj: jax.Array,
+    valid: jax.Array,
+    inside: jax.Array,
+    point_block: int = 1024,
+    interpret: bool = False,
+):
+    """Nearest projected vertex per contour pixel, WITH payloads.
+
+    Same matching as :func:`contour_min_idx` (identical to argmin over a
+    masked [P, M] distance matrix) but also returns the winning
+    candidate's coordinates and ``inside`` value, so callers need no
+    [P, M] one-hot gather outside the kernel.  Non-differentiable by
+    contract (callers rebuild the gradient path via
+    :func:`rows_scatter_add`, reference loss.py:240 semantics).
+
+    Returns ``(d2 [P], idx [P] int32, matched [P, 2], in_match [P])``.
+    """
+    P, M = contour.shape[0], proj.shape[0]
+    ppad8 = _cdiv(P, 8) * 8
+    point_block = min(
+        point_block, max(128, (1_000_000 // ppad8) // 128 * 128)
+    )
+    p_block = min(ppad8, max(8, (1_000_000 // point_block) // 8 * 8))
+    pb = _cdiv(ppad8, p_block)
+    ppad = pb * p_block - P
+    mb = _cdiv(M, point_block)
+    mpad = mb * point_block - M
+
+    soa = jnp.concatenate(
+        [proj.T, jnp.where(valid > 0, 0.0, _FAR)[None, :],
+         inside[None, :].astype(proj.dtype)], axis=0
+    )                                                     # [4, M]
+    if mpad:
+        pad = jnp.zeros((4, mpad), soa.dtype).at[2].set(_FAR)
+        soa = jnp.concatenate([soa, pad], axis=1)
+    cpad = contour
+    if ppad:
+        cpad = jnp.concatenate(
+            [contour, jnp.zeros((ppad, 2), contour.dtype)]
+        )
+
+    d2, idx, mx, my, inm = pl.pallas_call(
+        _contour_match_full_kernel,
+        grid=(pb, mb),
+        in_specs=[
+            pl.BlockSpec((p_block, 2), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, point_block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((p_block, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((pb * p_block, 1), contour.dtype),
+            jax.ShapeDtypeStruct((pb * p_block, 1), jnp.int32),
+            jax.ShapeDtypeStruct((pb * p_block, 1), contour.dtype),
+            jax.ShapeDtypeStruct((pb * p_block, 1), contour.dtype),
+            jax.ShapeDtypeStruct((pb * p_block, 1), contour.dtype),
+        ],
+        interpret=interpret,
+    )(cpad, soa)
+    matched = jnp.stack([mx[:P, 0], my[:P, 0]], axis=-1)
+    return d2[:P, 0], idx[:P, 0], matched, inm[:P, 0]
+
+
+def _rows_scatter_kernel(idx_ref, g_ref, out_ref):
+    """One M-block of :func:`rows_scatter_add`: build the [P, MB] one-hot
+    in VMEM and contract ``g^T @ onehot`` on the MXU."""
+    j = pl.program_id(0)
+    mb = out_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (idx_ref.shape[0], mb), 1)
+    oh = (idx_ref[:, 0:1] - j * mb == lane).astype(g_ref.dtype)
+    out_ref[:] = jax.lax.dot_general(
+        g_ref[:], oh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)                               # [C, MB]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("M", "m_block", "interpret")
+)
+def rows_scatter_add(
+    idx: jax.Array,
+    g: jax.Array,
+    M: int,
+    m_block: int = 1024,
+    interpret: bool = False,
+):
+    """``out[c, m] = sum over p with idx[p]==m of g[p, c]`` — the
+    backward of a row gather (``matched = proj[idx]``), as a one-hot
+    contraction per M-block so the [P, M] one-hot lives only in VMEM.
+    idx ``[P]`` int32 (entries may exceed M; those rows are dropped,
+    used for padding); g ``[P, C]``.  Returns ``[C, M]``.
+    """
+    P, C = g.shape
+    ppad = _cdiv(max(P, 1), 8) * 8 - P
+    if ppad:
+        idx = jnp.concatenate([idx, jnp.full((ppad,), 2**30, idx.dtype)])
+        g = jnp.concatenate([g, jnp.zeros((ppad, C), g.dtype)])
+    mbk = _cdiv(M, m_block)
+    out = pl.pallas_call(
+        _rows_scatter_kernel,
+        grid=(mbk,),
+        in_specs=[
+            pl.BlockSpec((idx.shape[0], 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((idx.shape[0], C), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, m_block), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, mbk * m_block), g.dtype),
+        interpret=interpret,
+    )(idx[:, None], g)
+    return out[:, :M]

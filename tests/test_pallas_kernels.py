@@ -218,3 +218,91 @@ def test_raster_attrs_pallas_behind_camera(rng):
     )
     assert (np.asarray(f) == -1).all()
     assert (np.asarray(a) == 0).all()
+
+
+def test_bilinear_cov_grads_matches_xla(rng):
+    """Fused stay-inside kernel: sampled/coverage values and all four
+    positional derivatives match the XLA one-hot formulation
+    (losses.silhouette._bilinear_sample_onehot_cov) to bf16 operand
+    rounding, including out-of-range points (zero padding)."""
+    from bodyfitting_tpu.losses.silhouette import (
+        _bilinear_sample_onehot_cov,
+    )
+
+    H = W = 96
+    imsize = 96.0
+    img = jnp.asarray(
+        (rng.uniform(size=(H, W)) > 0.5).astype(np.float32)
+    )
+    N = 173                                   # exercises point padding
+    xy = jnp.asarray(
+        rng.uniform(-12, imsize + 12, size=(N, 2)).astype(np.float32)
+    )
+    scale = (W - 1) / imsize
+
+    out = pk.bilinear_cov_grads(img, xy * scale, point_tile=128,
+                                interpret=True)
+    s, c, ds_dx, ds_dy, dc_dx, dc_dy = (np.asarray(o) for o in out)
+
+    s_ref, c_ref = _bilinear_sample_onehot_cov(img, xy, imsize)
+    np.testing.assert_allclose(s, np.asarray(s_ref), atol=5e-3)
+    np.testing.assert_allclose(c, np.asarray(c_ref), atol=5e-3)
+
+    # derivatives vs autodiff of the XLA path, with two random
+    # cotangent vectors (per-point: diag of the Jacobian contraction);
+    # d/dxy here is in pixel-grid units -> scale the XLA grad back
+    gs = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
+    gc = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
+
+    def f(xy_):
+        s_, c_ = _bilinear_sample_onehot_cov(img, xy_, imsize)
+        return jnp.sum(s_ * gs + c_ * gc)
+
+    g_ref = np.asarray(jax.grad(f)(xy)) / scale
+    g_ker = np.stack(
+        [np.asarray(gs) * ds_dx + np.asarray(gc) * dc_dx,
+         np.asarray(gs) * ds_dy + np.asarray(gc) * dc_dy], axis=-1
+    )
+    # mask out kink points (|i - x| within eps of 0/1: subgradient
+    # conventions differ, measure-zero in optimization)
+    xh = np.asarray(xy) * scale
+    frac = np.abs(xh - np.round(xh))
+    interior = (frac > 1e-3).all(axis=1)
+    np.testing.assert_allclose(
+        g_ker[interior], g_ref[interior], atol=2e-2
+    )
+
+
+def test_stay_inside_pallas_custom_vjp(rng):
+    """End-to-end: the silhouette loss's pallas stay-inside path (value
+    AND gradient through the custom_vjp) agrees with the XLA path."""
+    from bodyfitting_tpu.losses import silhouette as S
+
+    H = W = 64
+    img = jnp.asarray(
+        (rng.uniform(size=(H, W)) > 0.5).astype(np.float32)
+    )
+    xy = jnp.asarray(
+        rng.uniform(-8, 72, size=(200, 2)).astype(np.float32)
+    )
+
+    def loss(xy_):
+        s, c = S._stay_inside_cov(img, xy_, float(W))
+        return jnp.sum(c - s)
+
+    old = S.STAY_INSIDE
+    try:
+        S.STAY_INSIDE = "pallas"
+        v_p, g_p = jax.value_and_grad(loss)(xy)
+        S.STAY_INSIDE = "xla"
+        v_x, g_x = jax.value_and_grad(loss)(xy)
+    finally:
+        S.STAY_INSIDE = old
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-3)
+    scale = (W - 1) / float(W)
+    xh = np.asarray(xy) * scale
+    frac = np.abs(xh - np.round(xh))
+    interior = (frac > 1e-3).all(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(g_p)[interior], np.asarray(g_x)[interior], atol=2e-2
+    )
