@@ -109,6 +109,7 @@ def main():
         "--num_iters", str(args.num_iters),
         "--tex_iters", str(args.tex_iters),
         "--auto_uv",
+        "--timing",
     ])
     write_openpose_jsons(out_dir, subject, args.viewnum, 512)
 

@@ -32,6 +32,10 @@ def config_parser():
     p.add_argument("--openpose_dir", type=str, default="../openpose")
     p.add_argument("--info_dir", type=str, default=None)
     p.add_argument("--debug", default=False, action="store_true")
+    p.add_argument("--timing", default=False, action="store_true",
+                   help="print a per-stage wall-clock line per scan "
+                        "(prep incl. renders+openpose / smplify incl. "
+                        "smpld / texfit / output)")
     p.add_argument("--load_size", default=512, type=int)
     p.add_argument("--viewnum", default=8, type=int)
     p.add_argument("--tasks", nargs="+", type=str,
@@ -373,8 +377,12 @@ class Runner:
                 if items else None
             )
             for i, (subject, meshfile, gender) in enumerate(items):
+                import time as _time
+
+                t0 = _time.perf_counter()
                 self.model = self._model_for(gender)
                 data, keypoints = fut.result()
+                t_prep = _time.perf_counter()
                 if i + 1 < len(items):
                     fut = prep.submit(
                         self._prepare_scan, items[i + 1][0], items[i + 1][1]
@@ -385,6 +393,7 @@ class Runner:
                     result = self.run_smplify(
                         subject, scan, data, keypoints
                     )
+                t_fit = _time.perf_counter()
                 if "texfit" in self.args.tasks:
                     if result is None:
                         # texfit without smplify in the same run: reuse the
@@ -401,8 +410,19 @@ class Runner:
                         self.run_texfit(
                             subject, scan, scan_face_uvs, result
                         )
+                t_tex = _time.perf_counter()
                 if "output" in self.args.tasks:
                     self.run_output(subject)
+                if self.args.timing:
+                    t_out = _time.perf_counter()
+                    print(
+                        f"[timing] {subject}: prep {t_prep - t0:.1f}s "
+                        f"(overlapped for later scans), smplify+smpld "
+                        f"{t_fit - t_prep:.1f}s, texfit "
+                        f"{t_tex - t_fit:.1f}s, output "
+                        f"{t_out - t_tex:.1f}s",
+                        file=sys.stderr,
+                    )
 
 
 def main(argv=None):
