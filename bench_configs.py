@@ -109,7 +109,8 @@ def _time_fit(model, config, obs, init, prior, batched, iters, label,
         f"({iters / dt:.0f} it/s/frame, compile {compile_s:.0f}s, "
         f"x{repeats} in-program repeats, walls "
         + "/".join(f"{w * 1e3:.0f}ms" for w in res.walls)
-        + f", {n_frames * (iters / dt) / 600:.2f} 600-iter fits/s/chip)"
+        + f", {n_frames * (iters / dt) / 600:.2f} 600-iter fits/s/chip)",
+        flush=True,
     )
     return dt
 
@@ -387,9 +388,13 @@ def main():
                 num_iters=iters, use_mesh=True, displacement=True,
                 mesh_loss_impl=impl,
             )
+            # exact path: ONE fit per launch — a 4-repeat scan of the
+            # brute-force [V, 80k-face] in-loop nearest doubles the live
+            # transients and reproducibly kills the TPU worker (r4)
             dt = _time_fit(
                 smpl, cfg4, obs4, smplify.FitParams.init(smpl), prior,
                 False, 2 * iters, f"config4 smpl+d scan ({impl})",
+                repeats=1 if impl == "exact" else 4,
             )
             if impl == "sdf":
                 dt4 = dt
