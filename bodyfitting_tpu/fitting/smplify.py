@@ -87,6 +87,19 @@ class FitConfig:
     # batches — the direct fix for the 600-1200-frame scaling cliff
     # (BENCH_NOTES batch-scaling table).
     view_chunk: int = 0
+    # Order of the every-4th mask vertices inside the merged reduction:
+    # 'height' sorts them by template coordinate along the body's long
+    # axis (or `mask_height_axis`), which makes the stay-inside kernel's
+    # point tiles image-row-coherent under upright cameras so its
+    # row-windowed sweep touches only each tile's actual row span
+    # (ops.pallas_kernels.bilinear_cov_grads(row_window=...)).  The loss
+    # terms are identical values summed in a different point order —
+    # float reassociation only, same objective and gradients; parity
+    # harnesses pin 'reference' (the reference's vertices[::4] order,
+    # loss.py:94) to keep torch's exact summation order.
+    mask_point_order: str = "height"
+    # -1 = the template axis of maximum extent (body height for humans)
+    mask_height_axis: int = -1
     # lax.scan unroll factor for the Adam loops.  Measured NO-WIN on the
     # latency-bound headline shape (BENCH_NOTES: 150fx48vx600, walls flat
     # at unroll 1/2/4/8) — the per-step latency is op scheduling inside
@@ -349,9 +362,14 @@ def loss_models(model: bm.BodyModel, config: FitConfig):
             if config.use_mask and not config.use_mesh:
                 import numpy as np
 
-                loss_model, mask_rows = bm.reduce_for_rows(
-                    model, np.arange(0, model.num_verts, 4)
-                )
+                ids = np.arange(0, model.num_verts, 4)
+                if config.mask_point_order == "height":
+                    vt = np.asarray(model.v_template)[ids]
+                    ax = config.mask_height_axis
+                    if ax < 0:
+                        ax = int(np.argmax(vt.max(0) - vt.min(0)))
+                    ids = ids[np.argsort(vt[:, ax], kind="stable")]
+                loss_model, mask_rows = bm.reduce_for_rows(model, ids)
             elif config.use_mesh:
                 joints_model = bm.reduce_for_joints(model)
             else:

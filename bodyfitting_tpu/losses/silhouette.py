@@ -53,6 +53,14 @@ def _use_pallas_match() -> bool:
 # pass.  'auto' = pallas on TPU.  Trace-time flag, like CONTOUR_MATCH.
 STAY_INSIDE = "auto"
 
+# Row-window size for the fused kernel's banded row sweep (see
+# ops.pallas_kernels._bilinear_cov_kernel_windowed): each point tile
+# touches only its own row span instead of all H image rows.  Pays off
+# when point tiles are image-row-coherent — contour-walk order already
+# is, and FitConfig.mask_point_order='height' makes the strided body
+# vertices so; incoherent tiles degrade to the old full sweep.
+STAY_INSIDE_ROW_WINDOW = 128
+
 
 def _use_pallas_stay_inside() -> bool:
     if STAY_INSIDE == "pallas":
@@ -252,7 +260,8 @@ def _stay_inside_fwd_impl(img, xyhat):
     from bodyfitting_tpu.ops.pallas_kernels import bilinear_cov_grads
 
     out = bilinear_cov_grads(
-        img, xyhat, interpret=jax.default_backend() != "tpu"
+        img, xyhat, interpret=jax.default_backend() != "tpu",
+        row_window=STAY_INSIDE_ROW_WINDOW,
     )
     return tuple(out)
 
@@ -459,6 +468,7 @@ def silhouette_loss(
                 jnp.stack([mx, my], -1).astype(mask.dtype),
                 interpret=jax.default_backend() != "tpu",
                 with_grads=False,
+                row_window=STAY_INSIDE_ROW_WINDOW,
             )[0]
         else:
             # nearest-sample the mask at the matched pixels, one-hot

@@ -1153,12 +1153,109 @@ def _bilinear_cov_kernel(xy_ref, img_ref, out_ref, *, H, W,
     )
 
 
+def _bilinear_cov_kernel_windowed(xy_ref, img_ref, out_ref, *, H, W, Hw,
+                                  with_grads=True):
+    """Row-windowed variant of :func:`_bilinear_cov_kernel`.
+
+    The full kernel generates ``[tN, H]`` row hinges and contracts them
+    against all ``H`` image rows, although each point's hinge support is
+    exactly 2 rows — the only reason the full sweep was needed is that
+    per-point dynamic VMEM gathers are not expressible in Mosaic.  When
+    the caller orders points so a tile is ROW-COHERENT (consecutive
+    points project to nearby image rows — true for contour walks and for
+    height-sorted body vertices under upright cameras), the tile's union
+    support is a narrow row band.  This kernel computes that band
+    in-kernel from the tile's y-range and sweeps it in ``Hw``-row windows
+    with a dynamic-trip-count ``fori_loop``: hinge generation AND the MXU
+    contraction shrink from ``H`` rows to the tile's actual span, with
+    the full-H sweep as the worst case (incoherent tiles lose nothing but
+    loop overhead).  Values are identical to the full kernel: windows
+    tile ``[r0, rend)`` disjointly (the image-edge clamp masks re-visited
+    rows), rows outside every point's support contribute zero weight.
+    """
+    x = xy_ref[:, 0:1]                                    # [tN, 1]
+    y = xy_ref[:, 1:2]
+    tN = y.shape[0]
+    dt = xy_ref.dtype
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(dt)
+    adx = jnp.abs(ix - x)                                 # [tN, W]
+    cw = jnp.maximum(0.0, 1.0 - adx)
+    bf = jnp.bfloat16
+
+    # Union hinge support of the tile: point y touches integer rows
+    # floor(y) and floor(y)+1 only, so [floor(ymin), floor(ymax)+2)
+    # covers every point; clip to the image, align the base to sublanes.
+    # clip in FLOAT before the int cast: early-fit projections can land
+    # anywhere (near-zero w divides), and float->int32 overflow is UB
+    ymin = jnp.clip(jnp.min(y), 0.0, float(H))
+    ymax = jnp.clip(jnp.max(y), 0.0, float(H))
+    # All row offsets are computed in UNITS OF 8 SUBLANES and multiplied
+    # by 8 at the load site: Mosaic must statically prove the dynamic
+    # sublane index is a multiple of 8, which it can for `x * 8` but not
+    # through a floor/min/align chain.
+    r0_8 = jnp.floor(ymin).astype(jnp.int32) // 8
+    rend = jnp.minimum(jnp.floor(ymax).astype(jnp.int32) + 2, H)
+    nwin = jnp.maximum((rend - r0_8 * 8 + Hw - 1) // Hw, 0)
+
+    def body(k, carry):
+        rows, rsum, drows, drsum = carry
+        start = (r0_8 + k * (Hw // 8)) * 8
+        # keep the static-size load inside the image; the `fresh` guard
+        # zeroes rows an earlier window already produced, so the clamped
+        # last window never double-counts
+        ld_8 = jnp.minimum(r0_8 + k * (Hw // 8), (H - Hw) // 8)
+        ld = ld_8 * 8
+        img_k = img_ref[pl.ds(ld_8 * 8, Hw), :]           # [Hw, W] bf16
+        rid = ld + jax.lax.broadcasted_iota(jnp.int32, (1, Hw), 1)
+        fresh = rid >= start
+        iy = rid.astype(dt)
+        ady = jnp.abs(iy - y)                             # [tN, Hw]
+        rw = jnp.where(fresh, jnp.maximum(0.0, 1.0 - ady), 0.0)
+        if with_grads:
+            drw = jnp.where(rw > 0.0, jnp.sign(iy - y), 0.0)
+            both = jnp.concatenate([rw.astype(bf), drw.astype(bf)], axis=0)
+            br = jnp.dot(both, img_k, preferred_element_type=jnp.float32)
+            rows = rows + br[:tN]
+            drows = drows + br[tN:]
+            drsum = drsum + jnp.sum(drw, axis=1)
+        else:
+            br = jnp.dot(rw.astype(bf), img_k,
+                         preferred_element_type=jnp.float32)
+            rows = rows + br
+        rsum = rsum + jnp.sum(rw, axis=1)
+        return rows, rsum, drows, drsum
+
+    zNW = jnp.zeros((tN, W), jnp.float32)
+    zN = jnp.zeros((tN,), dt)
+    rows, rsum, drows, drsum = jax.lax.fori_loop(
+        0, nwin, body, (zNW, zN, zNW, zN)
+    )
+    rows = rows.astype(dt)
+    csum = jnp.sum(cw, axis=1)
+    s = jnp.sum(rows * cw, axis=1)
+    cov = rsum * csum
+    z = jnp.zeros_like(s)
+    if not with_grads:
+        out_ref[:] = jnp.stack([s, cov, z, z, z, z, z, z], axis=0)
+        return
+    dcw = jnp.where(cw > 0.0, jnp.sign(ix - x), 0.0)
+    drows = drows.astype(dt)
+    ds_dx = jnp.sum(rows * dcw, axis=1)
+    ds_dy = jnp.sum(drows * cw, axis=1)
+    dc_dx = rsum * jnp.sum(dcw, axis=1)
+    dc_dy = drsum * csum
+    out_ref[:] = jnp.stack(
+        [s, cov, ds_dx, ds_dy, dc_dx, dc_dy, z, z], axis=0,
+    )
+
+
 def bilinear_cov_grads(
     img: jax.Array,
     xy: jax.Array,
     point_tile: int = 256,
     interpret: bool = False,
     with_grads: bool = True,
+    row_window: int | None = None,
 ):
     """Fused zero-padded bilinear sample + coverage + position gradients.
 
@@ -1172,6 +1269,13 @@ def bilinear_cov_grads(
     [N, H]/[N, W] hinge matrices through HBM per (frame, view) — that
     traffic, not the MXU, bound the production mask fit (r4 ablation:
     the stay-inside term was 70%% of the staged step).
+
+    ``row_window``: sweep only the tile's union row-support in windows of
+    this many rows (:func:`_bilinear_cov_kernel_windowed`) instead of all
+    ``H`` rows — a large win when the caller orders points row-coherently
+    (``FitConfig.mask_point_order='height'``; contour walks are already
+    coherent), the full sweep in the worst case.  Requires ``H % 8 == 0``
+    and ``row_window < H`` (falls back to the full kernel otherwise).
     """
     N = xy.shape[0]
     H, W = img.shape
@@ -1182,13 +1286,23 @@ def bilinear_cov_grads(
         xy = jnp.concatenate(
             [xy, jnp.full((npad, 2), -4.0, xy.dtype)]
         )
+    if row_window is not None and (
+        H % 8 != 0 or row_window % 8 != 0 or row_window >= H
+    ):
+        row_window = None
+    kern = (
+        functools.partial(_bilinear_cov_kernel_windowed, H=H, W=W,
+                          Hw=row_window, with_grads=with_grads)
+        if row_window is not None
+        else functools.partial(_bilinear_cov_kernel, H=H, W=W,
+                               with_grads=with_grads)
+    )
     # operand cast hoisted out of the kernel: the image is loop-constant
     # in the fit scan, so the bf16 copy is made once, not per grid step,
     # and the VMEM-resident block halves
     img_bf = img.astype(jnp.bfloat16)
     outs = pl.pallas_call(
-        functools.partial(_bilinear_cov_kernel, H=H, W=W,
-                          with_grads=with_grads),
+        kern,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((point_tile, 2), lambda i: (i, 0),

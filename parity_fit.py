@@ -202,7 +202,11 @@ def run_jax_fit(model, w2cs, Ks, keypoints, constant_scale, num_iters,
             contours=jnp.asarray(m["contours"], dt),
             contour_valid=jnp.asarray(m["contour_valid"], dt),
         )
-        cfg_kw.update(use_mask=True)
+        # 'reference' point order: parity re-enacts the reference's exact
+        # vertices[::4] summation order (loss.py:94) — the default
+        # 'height' ordering is the same objective with re-associated
+        # sums, which the chaotic post-gate trajectory would amplify
+        cfg_kw.update(use_mask=True, mask_point_order="reference")
     if fit_config in ("mesh", "smpld"):
         s = extras["scan"]
         obs_kw.update(

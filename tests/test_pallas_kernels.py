@@ -273,6 +273,44 @@ def test_bilinear_cov_grads_matches_xla(rng):
     )
 
 
+def test_bilinear_cov_grads_windowed_matches_full(rng):
+    """The row-windowed sweep (`row_window=`) returns bit-comparable
+    outputs to the full-H kernel for every point distribution: coherent
+    tiles (its target), uniformly spread points (multi-window worst
+    case), tight clusters, fully off-image tiles above/below, image-edge
+    bands, wild early-fit projections (float->int clipping), and integer
+    coordinates (hinge kinks).  Both with_grads modes; Hw=8 exercises
+    many windows plus the clamped last window's dedup guard."""
+    H = W = 96
+    img = jnp.asarray(
+        (rng.uniform(size=(H, W)) > 0.5).astype(np.float32)
+    )
+    cases = {
+        "coherent": np.stack(
+            [rng.uniform(0, 96, 300), np.sort(rng.uniform(0, 96, 300))],
+            -1),
+        "spread": rng.uniform(-12, 108, size=(300, 2)),
+        "cluster": rng.uniform(40, 44, size=(300, 2)),
+        "below": rng.uniform(-8, -2, size=(300, 2)),
+        "above": rng.uniform(97, 200, size=(300, 2)),
+        "edge": np.stack(
+            [rng.uniform(0, 96, 300), rng.uniform(94.2, 95.9, 300)], -1),
+        "huge": rng.uniform(-1e9, 1e9, size=(300, 2)),
+        "int": np.round(rng.uniform(0, 95, (300, 2))),
+    }
+    for wg in (True, False):
+        for Hw in (32, 8):
+            for name, xy in cases.items():
+                xy = jnp.asarray(xy.astype(np.float32))
+                a = pk.bilinear_cov_grads(
+                    img, xy, point_tile=128, interpret=True, with_grads=wg)
+                b = pk.bilinear_cov_grads(
+                    img, xy, point_tile=128, interpret=True, with_grads=wg,
+                    row_window=Hw)
+                err = float(jnp.abs(a - b).max())
+                assert err < 1e-5, (name, wg, Hw, err)
+
+
 def test_stay_inside_pallas_custom_vjp(rng):
     """End-to-end: the silhouette loss's pallas stay-inside path (value
     AND gradient through the custom_vjp) agrees with the XLA path."""

@@ -186,10 +186,15 @@ def test_mask_fit_with_merged_reduction_matches_without():
     init = smplify.FitParams.init(model)
 
     results = {}
+    # mask_point_order='reference' isolates the property under test (the
+    # merged reduction itself): the unreduced path sums the mask terms in
+    # vertices[::4] order, so the reduced path must too for the
+    # trajectories to be comparable.  The 'height' production order (same
+    # terms, re-associated sum) is checked separately below.
     for reduce in (False, True):
         config = smplify.FitConfig(
             num_iters=60, imsize=256.0, use_mask=True,
-            reduce_joints_only=reduce,
+            reduce_joints_only=reduce, mask_point_order="reference",
         )
         _, result, losses = jax.jit(
             lambda o, i, c=config: smplify.fit(model, c, o, i, prior)
@@ -198,13 +203,31 @@ def test_mask_fit_with_merged_reduction_matches_without():
         results[reduce] = (np.asarray(result["vertices"]),
                            np.asarray(losses))
 
+    # 'height' point order: identical objective (the silhouette terms are
+    # sums over points — reordering only re-associates float adds), so
+    # the trajectory agrees through the smooth window and the converged
+    # surface matches to the same chaos tolerance as the reduction check.
+    config_h = smplify.FitConfig(
+        num_iters=60, imsize=256.0, use_mask=True,
+        reduce_joints_only=True, mask_point_order="height",
+    )
+    _, result_h, losses_h = jax.jit(
+        lambda o, i: smplify.fit(model, config_h, o, i, prior)
+    )(obs, init)
+    np.testing.assert_allclose(
+        np.asarray(losses_h)[:60 // 3 + 10],
+        results[True][1][:60 // 3 + 10], rtol=5e-4)
+    results["height"] = (np.asarray(result_h["vertices"]),
+                         np.asarray(losses_h))
+
     # pre-gate + early post-gate: same objective to float tolerance
     gate = 60 // 3 + 1
     np.testing.assert_allclose(
         results[True][1][:gate + 10], results[False][1][:gate + 10],
         rtol=5e-4)
     # converged surfaces equal to the f32 chaos tolerance of this horizon
-    dv = np.linalg.norm(results[True][0] - results[False][0], axis=-1)
     body = results[False][0]
     size = float(body[:, 1].max() - body[:, 1].min())
-    assert dv.mean() < 0.01 * size, (dv.mean(), size)
+    for key in (True, "height"):
+        dv = np.linalg.norm(results[key][0] - results[False][0], axis=-1)
+        assert dv.mean() < 0.01 * size, (key, dv.mean(), size)
