@@ -468,10 +468,15 @@ def nearest_points_on_mesh(points, scan_verts, scan_faces,
     ``tests/test_parity.py::test_nearest_oracle_pruned_bit_identical``)
     at ~20x less arithmetic, which is
     what makes multi-seed f64 parity studies affordable on one CPU core.
+
+    Chunk knobs: ``point_chunk`` caps the query-chunk size on BOTH paths
+    (the pruned path additionally shrinks it so its [Qc, F] transients
+    stay ~30M elements); ``face_chunk`` applies only to ``prune=False``
+    (the pruned path never materializes per-face-chunk transients).
     """
     if prune:
         return _nearest_points_on_mesh_pruned(
-            points, scan_verts, scan_faces
+            points, scan_verts, scan_faces, max_point_chunk=point_chunk
         )
     with torch.no_grad():
         tri = scan_verts[scan_faces]                             # [F,3,3]
@@ -516,7 +521,8 @@ def nearest_points_on_mesh(points, scan_verts, scan_faces,
         return out_pts, out_idx
 
 
-def _nearest_points_on_mesh_pruned(points, scan_verts, scan_faces):
+def _nearest_points_on_mesh_pruned(points, scan_verts, scan_faces,
+                                   max_point_chunk=1024):
     """AABB-pruned exact nearest (see :func:`nearest_points_on_mesh`).
 
     Per query chunk: (1) upper bound ``ub`` = min squared distance to any
@@ -539,8 +545,11 @@ def _nearest_points_on_mesh_pruned(points, scan_verts, scan_faces):
         eps = torch.finfo(points.dtype).eps
         out_pts = torch.empty_like(points)
         out_idx = torch.empty(Q, dtype=torch.long)
-        # [Qc, F] transients bound the chunk size (~30M f64 elements)
-        point_chunk = max(32, min(1024, int(3e7) // max(F_, 1)))
+        # [Qc, F] transients bound the chunk size (~30M f64 elements);
+        # the caller's point_chunk is respected as an upper bound
+        point_chunk = max(
+            32, min(max_point_chunk, int(3e7) // max(F_, 1))
+        )
         for q0 in range(0, Q, point_chunk):
             pq = points[q0:q0 + point_chunk]                     # [Qc,3]
             Qc = pq.shape[0]

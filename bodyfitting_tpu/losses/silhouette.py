@@ -88,6 +88,17 @@ def extract_contours(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side outer-contour extraction (reference loss.py:73-83).
 
+    DELIBERATE DIVERGENCE (documented in README): on multi-component
+    masks this picks the LARGEST outer contour (most boundary pixels).
+    The reference's ``extract_countours`` selects
+    ``argmax([a.shape[1] for a in contour])`` (loss.py:79) — but
+    ``shape[1]`` of a cv2 contour is always 1, so it silently always
+    takes the *first* contour in cv2's emission order (bottom-most blob
+    in OpenCV's scan), which on a person+noise-blob mask can be the
+    noise.  Largest-by-perimeter is the intended behaviour; the
+    regression test pins it on a two-blob mask
+    (tests/test_losses.py::test_extract_contours_two_blobs).
+
     Args:
       masks: list of ``[H, W]`` binary/float masks.
       pad_to: contour length to pad/truncate to (default: longest).

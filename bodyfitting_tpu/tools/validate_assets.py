@@ -208,16 +208,43 @@ def _structural_check(rep, name, state_dict, required, optional):
     return r["ok"]
 
 
+# torch.load fallback policy: all three checkpoint families this tool
+# vets (HMR, OpenPose pth, LBAM) are plain tensor dicts, so the safe
+# weights_only=True loader handles them; weights_only=False executes
+# arbitrary pickle code from the very file being vetted, so it is only
+# reachable behind the explicit --unsafe-load flag (advisor finding r4).
+_UNSAFE_LOAD = False
+
+
+def _torch_load_checkpoint(path: str, rep: Report, name: str):
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # noqa: BLE001 — pickle errors vary widely
+        if _UNSAFE_LOAD:
+            rep.info(f"{name}: weights_only load failed, using "
+                     f"--unsafe-load pickle fallback", str(e)[:100])
+            return torch.load(path, map_location="cpu", weights_only=False)
+        rep.check(
+            f"{name} loads with weights_only=True", False,
+            f"{str(e)[:100]} — re-run with --unsafe-load ONLY if you "
+            f"trust this file (executes pickled code)",
+        )
+        return None
+
+
 def validate_hmr(path: str, rep: Report):
     """HMR checkpoint: structural manifest check, then conversion."""
     import jax
-    import torch
 
     from bodyfitting_tpu.models import hmr as hmr_mod
     from bodyfitting_tpu.tools.manifests import expected_hmr_state_dict
 
     model, variables = hmr_mod.init_hmr(jax.random.PRNGKey(0))
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load_checkpoint(path, rep, "hmr")
+    if ckpt is None:
+        return
     sd = ckpt["model"] if isinstance(ckpt, dict) and isinstance(
         ckpt.get("model"), dict) else ckpt
     required, optional = expected_hmr_state_dict(variables)
@@ -249,8 +276,6 @@ def validate_hmr(path: str, rep: Report):
 
 def validate_openpose(path: str, which: str, rep: Report):
     """OpenPose .pth: structural manifest check, then conversion."""
-    import torch
-
     from bodyfitting_tpu.models import openpose as op
     from bodyfitting_tpu.tools.manifests import (
         expected_openpose_state_dict,
@@ -263,7 +288,9 @@ def validate_openpose(path: str, which: str, rep: Report):
         "face": op.init_face_net,
     }
     model, variables = inits[which]()
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = _torch_load_checkpoint(path, rep, f"openpose {which}")
+    if sd is None:
+        return
     required, optional = expected_openpose_state_dict(variables)
     if not _structural_check(
         rep, f"openpose {which}", normalize_openpose_keys(sd),
@@ -292,13 +319,13 @@ def validate_openpose(path: str, which: str, rep: Report):
 def validate_lbam(path: str, rep: Report):
     """LBAM inpainter .pth: structural manifest check, then conversion
     and a finite-output probe."""
-    import torch
-
     from bodyfitting_tpu.models import inpaint as lbam
     from bodyfitting_tpu.tools.manifests import expected_lbam_state_dict
 
     inp = lbam.Inpainter()
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = _torch_load_checkpoint(path, rep, "lbam")
+    if sd is None:
+        return
     required, optional = expected_lbam_state_dict(inp.variables)
     if not _structural_check(rep, "lbam", sd, required, optional):
         return
@@ -330,7 +357,15 @@ def main(argv=None):
     ap.add_argument("--openpose_hand", help="hand_pose_model.pth")
     ap.add_argument("--openpose_face", help="face net .pth")
     ap.add_argument("--lbam", help="LBAM_NoBN_ParisStreetView.pth")
+    ap.add_argument(
+        "--unsafe-load", action="store_true",
+        help="fall back to torch.load(weights_only=False) when the safe "
+             "loader rejects a checkpoint — executes pickled code from "
+             "the file; use only on files you trust",
+    )
     args = ap.parse_args(argv)
+    global _UNSAFE_LOAD
+    _UNSAFE_LOAD = args.unsafe_load
 
     rep = Report()
     any_given = False

@@ -1056,12 +1056,20 @@ def write_seed_study_md(study):
     path = os.path.join(os.path.dirname(__file__), "PARITY.md")
     with open(path) as f:
         text = f.read()
+    # Splice the refreshed section back IN PLACE (advisor r4): removing
+    # it and appending at the end would reorder PARITY.md's sections on
+    # every refresh.
+    section = "\n".join(lines).rstrip()
     if marker in text:
         head, rest = text.split(marker, 1)
         nxt = rest.find("\n## ")
         tail = rest[nxt + 1:] if nxt != -1 else ""
-        text = head.rstrip() + ("\n\n" + tail if tail else "\n\n")
-    text = text.rstrip() + "\n\n" + "\n".join(lines) + "\n"
+        text = (
+            head.rstrip() + "\n\n" + section + "\n"
+            + ("\n" + tail if tail else "")
+        )
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
     with open(path, "w") as f:
         f.write(text)
 

@@ -180,6 +180,24 @@ def test_laplacian_smoothness_zero_for_constant_normals():
     assert float(losses.normal_laplacian_smoothness(normals, faces)) == 0.0
 
 
+def test_extract_contours_two_blobs():
+    # Deliberate divergence vs reference loss.py:79 (README): on a
+    # multi-component mask we take the LARGEST outer contour; the
+    # reference's argmax over cv2-contour shape[1] (always 1) silently
+    # takes the FIRST in cv2 emission order.  Pin that the big blob
+    # wins regardless of its scan-order position.
+    mask = np.zeros((128, 128), np.float32)
+    mask[8:16, 8:16] = 1.0       # small noise blob, emitted first/last
+    mask[48:112, 40:104] = 1.0   # the person: 64x64 blob
+    contours, valid = losses.extract_contours([mask])
+    pts = contours[0][valid[0] > 0]
+    # every contour pixel must lie on the big blob's boundary box
+    assert pts[:, 0].min() >= 39 and pts[:, 0].max() <= 104
+    assert pts[:, 1].min() >= 47 and pts[:, 1].max() <= 112
+    # and the contour has the big blob's perimeter scale, not the small's
+    assert (valid[0] > 0).sum() > 4 * 32
+
+
 def test_silhouette_loss_pulls_outward(rng):
     # square mask 128x128 with a filled square [32, 96)^2
     H = 128
