@@ -123,17 +123,45 @@ def bench_torch_baseline(n_views: int, iters: int = 30):
     Ks = np.broadcast_to(K, (n_views, 3, 3)).copy()
     kps = rng.uniform(100, 400, size=(n_views, 135, 3)).astype(np.float32)
 
+    # Host-load guard (VERDICT r4 item 7): this is a 1-CPU host, so any
+    # concurrent process inflates the torch wall (the measured baseline
+    # swung 7-16 it/s across rounds on load alone).  Wait for the 1-min
+    # load average to drop before sampling; warn if it never does.
+    for _ in range(10):
+        load = os.getloadavg()[0]
+        if load < 1.5:
+            break
+        print(f"host load {load:.2f} — waiting 30s before baseline "
+              "sampling (1-CPU host; see CLAUDE.md)", file=sys.stderr)
+        _time.sleep(30)
+    else:
+        print(f"WARNING: host load still {os.getloadavg()[0]:.2f}; "
+              "baseline may be inflated", file=sys.stderr)
+
     # warmup (BLAS init etc.)
     tr.smplify_fit(md, w2cs, Ks, kps, gmm_arrays, num_iters=1)
-    t0 = _time.perf_counter()
-    tr.smplify_fit(md, w2cs, Ks, kps, gmm_arrays, num_iters=iters)
-    dt = _time.perf_counter() - t0
-    rate = iters / dt
+    # >= 3 samples; contention noise is ONE-SIDED (load only ever slows
+    # torch down), so the FASTEST sample is the best estimate of the
+    # uncontended reference loop — and the most conservative choice for
+    # the ratio (a faster baseline lowers vs_baseline).
+    rates = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        tr.smplify_fit(md, w2cs, Ks, kps, gmm_arrays, num_iters=iters)
+        rates.append(iters / (_time.perf_counter() - t0))
+    rate = max(rates)
+    spread = (max(rates) - min(rates)) / max(rates)
     print(
-        f"torch baseline ({n_views} views): {rate:.2f} it/s/frame (batch 1) "
+        f"torch baseline ({n_views} views): best {rate:.2f} it/s/frame "
+        f"of samples [" + ", ".join(f"{r:.2f}" for r in rates) + "] "
+        f"(spread {spread*100:.0f}%; batch 1) "
         f"-> {rate/600:.5f} full-600-iter frame fits/s",
         file=sys.stderr,
     )
+    if spread > 0.3:
+        print("WARNING: baseline samples spread >30% — host contention; "
+              "the best sample is used but re-run on an idle host",
+              file=sys.stderr)
     return rate
 
 

@@ -263,6 +263,11 @@ def main():
              "staged step amortizes over frames; sweep e.g. 8 32 64)",
     )
     ap.add_argument(
+        "--exact_repeats", type=int, default=1,
+        help="in-program fit repeats for config-4 exact (1 = the r4 "
+             "crash-avoidance default; see losses/mesh nearest notes)",
+    )
+    ap.add_argument(
         "--baseline", action="store_true",
         help="also measure the torch re-enactment of the reference loop "
              "structure per config (1-CPU host; run nothing else "
@@ -348,12 +353,18 @@ def main():
         contours, valid = extract_contours(list(masks))
         contours, weights = resample_contours(contours, valid, 512)
         w2cs48, Ks48 = _ring(48)
+        from bodyfitting_tpu.losses.silhouette import compute_mask_crops
+
+        crops, origins, _ = compute_mask_crops(list(masks))
         obs3b = dataclasses.replace(
             obs3b,
             masks=jnp.asarray(masks / 255.0),
             mask_w2cs=w2cs48[:8], mask_Ks=Ks48[:8],
             contours=jnp.asarray(contours),
             contour_valid=jnp.asarray(weights),
+            mask_crops=jnp.asarray(crops),
+            mask_crop_origins=jnp.asarray(origins),
+            mask_view_valid=jnp.ones(8, jnp.float32),
         )
         cfg3b = smplify.FitConfig(num_iters=iters, use_mask=True)
         for B3 in cli.batch3b:
@@ -388,13 +399,13 @@ def main():
                 num_iters=iters, use_mesh=True, displacement=True,
                 mesh_loss_impl=impl,
             )
-            # exact path: ONE fit per launch — a 4-repeat scan of the
-            # brute-force [V, 80k-face] in-loop nearest doubles the live
-            # transients and reproducibly kills the TPU worker (r4)
+            # exact path: defaulted to ONE fit per launch in r4 (a
+            # 4-repeat scan killed the TPU worker then); --exact_repeats
+            # overrides to re-test the multi-repeat protocol
             dt = _time_fit(
                 smpl, cfg4, obs4, smplify.FitParams.init(smpl), prior,
                 False, 2 * iters, f"config4 smpl+d scan ({impl})",
-                repeats=1 if impl == "exact" else 4,
+                repeats=cli.exact_repeats if impl == "exact" else 4,
             )
             if impl == "sdf":
                 dt4 = dt

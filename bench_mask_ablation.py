@@ -48,6 +48,7 @@ def main(B=32, iters=100, only=None):
     rc, rw = silhouette.resample_contours(contours, valid, 512)
     import dataclasses
 
+    crops, origins, _ = silhouette.compute_mask_crops(list(masks))
     obs = dataclasses.replace(
         obs,
         masks=jnp.asarray(masks / 255.0),
@@ -55,6 +56,9 @@ def main(B=32, iters=100, only=None):
         mask_Ks=obs.Ks[:8],
         contours=jnp.asarray(rc),
         contour_valid=jnp.asarray(rw),
+        mask_crops=jnp.asarray(crops),
+        mask_crop_origins=jnp.asarray(origins),
+        mask_view_valid=jnp.ones(8, jnp.float32),
     )
     obs = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), obs)
     init = jax.tree.map(
@@ -64,8 +68,27 @@ def main(B=32, iters=100, only=None):
     cfg = smplify.FitConfig(num_iters=iters, use_mask=True)
 
     real = silhouette.silhouette_loss
+
+    def lbs_only(contours, contour_valid, masks, w2cs, Ks, verts, **kw):
+        # control: full-vertex LBS + projection + reductions flow, but a
+        # TRIVIAL sampler — isolates the gated branch's vertex machinery
+        # (the 'none' variant DCEs get_vertices entirely) from the
+        # stay-inside sampler itself
+        from bodyfitting_tpu.ops.camera import perspective_projection
+
+        pts3d = verts[::4]
+
+        def per_view(w2c, K):
+            proj = perspective_projection(
+                pts3d[None], w2c[None, :3, :3], w2c[None, :3, 3], K[None]
+            )[0]
+            return jnp.sum(proj[:, 1] - proj[:, 0] * 1e-3)
+
+        return jnp.sum(jax.vmap(per_view)(w2cs, Ks))
+
     variants = {
         "none": lambda *a, **k: jnp.zeros(()),
+        "lbs_proj_only": lbs_only,
         "icp_only": functools.partial(real, terms=("icp",)),
         "binary_only": functools.partial(real, terms=("binary",)),
         "full": real,

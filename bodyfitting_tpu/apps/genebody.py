@@ -64,6 +64,12 @@ def config_parser():
     p.add_argument("--smpl_type", default="smpl", type=str)
     p.add_argument("--age", default="adult", type=str)
     p.add_argument("--num_iters", default=600, type=int)
+    p.add_argument("--mask_crop", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="run the stay-inside mask term on content-cropped "
+                        "masks (exact values, faster kernel; the static "
+                        "crop shape is derived from the subject's first "
+                        "batch and grown on demand)")
     p.add_argument("--contour_resample", default=512, type=int,
                    help="arc-length resample mask contours to this many "
                         "points (0 = keep every contour pixel)")
@@ -523,6 +529,32 @@ class Runner:
                 face = FaceDetector(path("face_pose_model.pth"))
             self._native_detectors = (body, hand, face)
 
+    def _mask_crop_hw(self, masks):
+        """Static crop shape shared by every frame of the subject.
+
+        Derived from the first batch's GT masks with 12.5%% slack,
+        rounded to TPU tiling (8, 128); grown (recompile) if a later
+        frame's silhouette exceeds it.  Crops are value-exact
+        (losses.silhouette.compute_mask_crops), so the only cost of a
+        growth event is the recompile.
+        """
+        from bodyfitting_tpu.losses.silhouette import compute_mask_crops
+
+        if not masks:
+            return getattr(self, "_crop_hw", None) or (8, 128)
+        _, _, (h, w) = compute_mask_crops(list(masks))
+        full = int(self.args.load_size)
+        cur = getattr(self, "_crop_hw", None)
+        if cur is None or h > cur[0] or w > cur[1]:
+            grow = lambda v, q: min(full, -(-int(v * 1.125) // q) * q)
+            new = (max(grow(h, 8), cur[0] if cur else 0),
+                   max(grow(w, 128), cur[1] if cur else 0))
+            if cur is not None:
+                print(f"[mask_crop] growing crop {cur} -> {new} "
+                      f"(recompile)", flush=True)
+            self._crop_hw = new
+        return self._crop_hw
+
     def read_openpose(self, frame):
         return load_openpose_dir(
             os.path.join(self.output_dir, "%06d" % frame, "openpose")
@@ -546,6 +578,9 @@ class Runner:
             mask_imsize=self.args.load_size,
             contour_pad=8 * self.args.load_size,
             contour_resample=self.args.contour_resample or None,
+            mask_crop=self.args.use_mask and self.args.mask_crop,
+            mask_crop_hw=self._mask_crop_hw(masks)
+            if (self.args.use_mask and self.args.mask_crop) else None,
         )
         keyframe = (constants.GENEBODY_KEYFRAME
                     if constants.GENEBODY_KEYFRAME in use_frames
@@ -607,6 +642,42 @@ class Runner:
             for i in range(len(obs_list))
         ]
 
+    @staticmethod
+    def _harmonize_mask_crops(obs_list):
+        """Pad per-frame mask crops to one batch shape.
+
+        The adaptive crop shape (``_mask_crop_hw``) can grow mid-batch;
+        zero-padding a crop window on the bottom/right is VALUE-EXACT
+        (zero-padded bilinear sampling of the full mask reads 0 both
+        outside the window and outside the image), so frames built with
+        the smaller shape stack against later ones without rebuilds.
+        """
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        shapes = {
+            tuple(o.mask_crops.shape[1:]) for o in obs_list
+            if o.mask_crops is not None
+        }
+        if len(shapes) <= 1:
+            return obs_list
+        Hc = max(h for h, _ in shapes)
+        Wc = max(w for _, w in shapes)
+        out = []
+        for o in obs_list:
+            if o.mask_crops is None or o.mask_crops.shape[1:] == (Hc, Wc):
+                out.append(o)
+                continue
+            h, w = o.mask_crops.shape[1:]
+            out.append(dataclasses.replace(
+                o,
+                mask_crops=jnp.pad(
+                    o.mask_crops, ((0, 0), (0, Hc - h), (0, Wc - w))
+                ),
+            ))
+        return out
+
     def dispatch_fit(self, frames, inputs):
         """Dispatch one batched fit; returns device arrays WITHOUT blocking
         (XLA executes asynchronously, so the host can prepare the next
@@ -614,11 +685,13 @@ class Runner:
         config = smplify.FitConfig(
             num_iters=self.args.num_iters,
             use_mask=self.args.use_mask and any(
-                o.masks is not None for o, _ in inputs
+                o.masks is not None or o.mask_crops is not None
+                for o, _ in inputs
             ),
             imsize=float(self.args.load_size),
         )
         obs_list = [o for o, _ in inputs]
+        obs_list = self._harmonize_mask_crops(obs_list)
         init_list = [i for _, i in inputs]
         if self.args.smplx_with_smpl_init and self.args.smpl_type == "smplx":
             init_list = self._smpl_init_stage(obs_list, init_list, config)

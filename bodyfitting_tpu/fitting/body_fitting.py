@@ -112,6 +112,8 @@ def build_observations(
     contour_resample: Optional[int] = 512,
     build_sdf: bool = True,
     sdf_resolution: int = 96,
+    mask_crop: bool = False,
+    mask_crop_hw: Optional[tuple] = None,
 ) -> smplify.Observations:
     """Assemble a single frame's Observations from host-side data.
 
@@ -122,6 +124,14 @@ def build_observations(
     resamples contours to a fixed point count with pixel-sum-preserving
     weights (losses.silhouette.resample_contours, ~8x smaller mask-loss
     transient at 512^2); None keeps every contour pixel.
+
+    ``mask_crop``: additionally store content-cropped masks
+    (losses.silhouette.compute_mask_crops) so the stay-inside term runs
+    on the crops — exact values, measured ~1.6x on the silhouette kernel
+    at 512^2 (BENCH_NOTES r5).  ``mask_crop_hw`` fixes the static crop
+    shape so per-frame Observations stack into a batch (None = smallest
+    fit for THIS frame — per-frame shapes then differ; batch callers
+    must pass a shared shape).
     """
     c2ws = np.asarray(c2ws, np.float32)
     w2cs = np.linalg.inv(c2ws)
@@ -169,6 +179,20 @@ def build_observations(
             contours=jnp.zeros((mask_num_views, P, 2), jnp.float32),
             contour_valid=jnp.zeros((mask_num_views, P), jnp.float32),
         )
+        if mask_crop:
+            Hc, Wc = mask_crop_hw or (8, 128)
+            obs = dataclasses.replace(
+                obs,
+                # full masks are not shipped on the crop path (the loss
+                # never reads them; saves h2d + HBM)
+                masks=None,
+                mask_crops=jnp.ones((mask_num_views, Hc, Wc),
+                                    jnp.float32),
+                mask_crop_origins=jnp.zeros((mask_num_views, 2),
+                                            jnp.float32),
+                mask_view_valid=jnp.zeros((mask_num_views,),
+                                          jnp.float32),
+            )
     elif masks is not None and len(masks) > 0:
         from bodyfitting_tpu.losses.silhouette import (
             binarize_mask,
@@ -216,6 +240,33 @@ def build_observations(
             contours=jnp.asarray(contours),
             contour_valid=jnp.asarray(valid),
         )
+        if mask_crop:
+            from bodyfitting_tpu.losses.silhouette import (
+                compute_mask_crops,
+            )
+
+            crops, origins, (Hc, Wc) = compute_mask_crops(
+                list(masks), crop_hw=mask_crop_hw
+            )
+            vvalid = np.ones(len(masks), np.float32)
+            if Vm > len(masks):
+                pad_n = Vm - len(masks)
+                crops = np.concatenate(
+                    [crops, np.ones((pad_n, Hc, Wc), np.float32)]
+                )
+                origins = np.concatenate(
+                    [origins, np.zeros((pad_n, 2), np.float32)]
+                )
+                vvalid = np.concatenate(
+                    [vvalid, np.zeros(pad_n, np.float32)]
+                )
+            obs = dataclasses.replace(
+                obs,
+                masks=None,
+                mask_crops=jnp.asarray(crops),
+                mask_crop_origins=jnp.asarray(origins),
+                mask_view_valid=jnp.asarray(vvalid),
+            )
     if scan_verts is not None:
         sv = np.asarray(scan_verts, np.float32)
         height = float(sv[:, 1].max() - sv[:, 1].min())

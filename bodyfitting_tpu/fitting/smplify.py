@@ -163,6 +163,12 @@ class Observations:
     mask_Ks: Optional[jax.Array] = None        # [Vm, 3, 3]
     contours: Optional[jax.Array] = None       # [Vm, P, 2]
     contour_valid: Optional[jax.Array] = None  # [Vm, P]
+    # content-cropped masks for the stay-inside term (exact-value
+    # fast path, losses.silhouette.compute_mask_crops); when present the
+    # loss samples the crops and `masks` may be None
+    mask_crops: Optional[jax.Array] = None         # [Vm, Hc, Wc]
+    mask_crop_origins: Optional[jax.Array] = None  # [Vm, 2] (x0, y0)
+    mask_view_valid: Optional[jax.Array] = None    # [Vm]
     # scan fitting (config.use_mesh)
     scan_verts: Optional[jax.Array] = None     # [Vs, 3]
     scan_faces: Optional[jax.Array] = None     # [Fs, 3] int32
@@ -175,8 +181,9 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "w2cs", "Ks", "keypoints", "view_mask", "constant_scale",
         "num_views_used", "masks",
-        "mask_w2cs", "mask_Ks", "contours", "contour_valid", "scan_verts",
-        "scan_faces", "scan_height", "scan_volume",
+        "mask_w2cs", "mask_Ks", "contours", "contour_valid",
+        "mask_crops", "mask_crop_origins", "mask_view_valid",
+        "scan_verts", "scan_faces", "scan_height", "scan_volume",
     ],
     meta_fields=[],
 )
@@ -310,6 +317,10 @@ def fit_loss(
                     obs.contours, obs.contour_valid, obs.masks,
                     obs.mask_w2cs, obs.mask_Ks, verts,
                     imsize=config.imsize, vertex_stride=mask_stride,
+                    mask_crops=obs.mask_crops,
+                    mask_crop_origins=obs.mask_crop_origins,
+                    mask_view_valid=obs.mask_view_valid,
+                    full_hw=(int(config.imsize), int(config.imsize)),
                 )
             if config.use_mesh:
                 if use_sdf:

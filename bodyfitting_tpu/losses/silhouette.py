@@ -20,6 +20,7 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -55,11 +56,13 @@ STAY_INSIDE = "auto"
 
 # Row-window size for the fused kernel's banded row sweep (see
 # ops.pallas_kernels._bilinear_cov_kernel_windowed): each point tile
-# touches only its own row span instead of all H image rows.  Pays off
-# when point tiles are image-row-coherent — contour-walk order already
-# is, and FitConfig.mask_point_order='height' makes the strided body
-# vertices so; incoherent tiles degrade to the old full sweep.
-STAY_INSIDE_ROW_WINDOW = 128
+# touches only its own row span instead of all H image rows.  MEASURED
+# NET NEGATIVE at the production shape (10.2 vs 9.0 ms/iter even with
+# row-coherent tiles — the dynamic pl.ds sublane loads + dynamic-trip
+# fori_loop cost more than the rows they skip; BENCH_NOTES r5 kernel
+# study), so the default is the full sweep; the knob stays for
+# experimentation.
+STAY_INSIDE_ROW_WINDOW: int | None = None
 
 
 def _use_pallas_stay_inside() -> bool:
@@ -352,6 +355,206 @@ def _stay_inside_cov(img: jax.Array, xy: jax.Array, imsize: float):
     return _bilinear_sample_onehot_cov(img, xy, imsize)
 
 
+# ---------------------------------------------------------------------------
+# Content-cropped stay-inside path
+# ---------------------------------------------------------------------------
+#
+# The stay-inside kernel's cost is O(N (H + W)) VPU work + an
+# [N, H] @ [H, W] gather-dot — at 512^2 it owned the production mask fit
+# (BENCH_NOTES r4/r5: the full-sweep kernel is VPU-elementwise bound;
+# row-windowed and row-banded variants both measured SLOWER than the full
+# sweep).  The winning lever is the IMAGE EXTENT: masks are constants
+# through the fit, so the kernel can run on a CONTENT-CROPPED mask —
+# bilinear zero-padded sampling of the full mask equals sampling the crop
+# (every nonzero pixel is inside the crop), and the coverage term (the
+# same sample of a constant-1 full image) collapses to a per-point closed
+# form against the full image bounds, computed in O(N) XLA.  Measured at
+# the production 3b shape: 8.97 -> 5.7 ms/iter at a [304, 256] crop
+# (bench_stay_inside.py).
+
+
+def coverage_closed_form(xyhat: jax.Array, full_hw: tuple) -> jax.Array:
+    """Per-point in-image coverage, closed form.
+
+    ``coverage(p)`` is the zero-padded bilinear sample of a constant-1
+    ``[H, W]`` image at pixel-grid position ``p`` — which factorizes into
+    ``rowsum(y) * colsum(x)`` with
+    ``rowsum(y) = sum_h max(0, 1 - |h - y|) = clip(min(y + 1, H - y), 0, 1)``
+    (1 in the interior, linear ramps over the one-pixel borders, 0
+    outside).  Algebraically identical to the hinge-matrix form the
+    kernels compute; float values can differ by ~1 ulp (the hinge sum
+    computes ``(1-f) + f``).  Autodiff subgradients at the kinks follow
+    min/clip conventions rather than the kernel's ``sign()`` — a
+    measure-zero divergence like the one already documented for
+    :func:`_stay_inside_pallas`.
+
+    ``xyhat [N, 2]`` in PIXEL-GRID units (already scaled by
+    ``(size-1)/imsize``); ``full_hw = (H, W)`` of the full image.
+    """
+    H, W = full_hw
+    x = xyhat[..., 0]
+    y = xyhat[..., 1]
+    rs = jnp.clip(jnp.minimum(y + 1.0, float(H) - y), 0.0, 1.0)
+    cs = jnp.clip(jnp.minimum(x + 1.0, float(W) - x), 0.0, 1.0)
+    return rs * cs
+
+
+def _coverage_and_grads(xyhat, full_hw):
+    """Closed-form coverage + ANALYTIC x/y derivatives (instead of
+    autodiffing the clip/min chain — jax's clip VJP expands into ~30
+    select/divide passes whose layouts thrash, measured +5 ms/iter at
+    the production shape).  Ramp derivative is ±1 on the open border
+    ramps, 0 elsewhere (same measure-zero kink conventions as the
+    kernels)."""
+    H, W = full_hw
+    x = xyhat[..., 0]
+    y = xyhat[..., 1]
+
+    def axis_cov(v, n):
+        lo = v + 1.0
+        hi = float(n) - v
+        c = jnp.clip(jnp.minimum(lo, hi), 0.0, 1.0)
+        on_ramp = (c > 0.0) & (c < 1.0)
+        dc = jnp.where(on_ramp, jnp.where(lo < hi, 1.0, -1.0), 0.0)
+        return c, dc
+
+    rs, drs = axis_cov(y, H)
+    cs, dcs = axis_cov(x, W)
+    return rs * cs, dcs * rs, drs * cs        # cov, dcov_dx, dcov_dy
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _stay_inside_sample_crop(crop: jax.Array, xyhat: jax.Array,
+                             origin: jax.Array, full_hw: tuple):
+    """(sampled, coverage) for the crop path: the sampled value comes
+    from the fused kernel on the content-cropped mask (positions shifted
+    into crop coordinates INSIDE this op), the coverage from the closed
+    form against the FULL image bounds.  One custom-vjp whose backward
+    is a single elementwise combine + ONE stacked ``[.., 2]`` cotangent
+    — mirroring the full path exactly: a two-input variant (xyc + xyhat)
+    paid two ``[BV, M, 2]`` cotangent relayouts and measured +3 ms/iter
+    at the production shape (BENCH_NOTES r5).  Image and origin
+    cotangents pinned to zero (observations)."""
+    s, *_ = _stay_inside_crop_fwd_impl(crop, xyhat - origin)
+    cov, _, _ = _coverage_and_grads(xyhat, full_hw)
+    return s, cov
+
+
+def _stay_inside_crop_fwd_impl(crop, xyc):
+    from bodyfitting_tpu.ops.pallas_kernels import bilinear_cov_grads
+
+    return tuple(bilinear_cov_grads(
+        crop, xyc, interpret=jax.default_backend() != "tpu",
+        with_cov=False,
+    ))
+
+
+def _stay_inside_crop_fwd(crop, xyhat, origin, full_hw):
+    s, _, ds_dx, ds_dy, *_ = _stay_inside_crop_fwd_impl(
+        crop, xyhat - origin
+    )
+    cov, dc_dx, dc_dy = _coverage_and_grads(xyhat, full_hw)
+    return (s, cov), (crop, origin, ds_dx, ds_dy, dc_dx, dc_dy)
+
+
+def _stay_inside_crop_bwd(full_hw, res, g):
+    crop, origin, ds_dx, ds_dy, dc_dx, dc_dy = res
+    gs, gc = g
+    gx = gs * ds_dx + gc * dc_dx
+    gy = gs * ds_dy + gc * dc_dy
+    return (
+        jnp.zeros_like(crop),
+        jnp.stack([gx, gy], axis=-1),
+        jnp.zeros_like(origin),
+    )
+
+
+_stay_inside_sample_crop.defvjp(
+    _stay_inside_crop_fwd, _stay_inside_crop_bwd
+)
+
+
+def _stay_inside_cov_crop(
+    crop: jax.Array, origin: jax.Array, xy: jax.Array, imsize: float,
+    full_hw: tuple,
+):
+    """Crop-path (sampled, coverage): identical values to
+    :func:`_stay_inside_cov` on the full mask (up to ~1 ulp in coverage)
+    whenever the crop contains every nonzero mask pixel plus a one-pixel
+    zero margin (guaranteed by :func:`compute_mask_crops`)."""
+    H, W = full_hw
+    scale = jnp.asarray(
+        [(W - 1) / imsize, (H - 1) / imsize], crop.dtype
+    )
+    xyhat = xy * scale
+    if _use_pallas_stay_inside():
+        return _stay_inside_sample_crop(crop, xyhat, origin,
+                                        tuple(full_hw))
+    xyc = xyhat - origin
+    cov = coverage_closed_form(xyhat, full_hw)
+    Hc, Wc = crop.shape
+    iy = jnp.arange(Hc, dtype=crop.dtype)[None, :]
+    ix = jnp.arange(Wc, dtype=crop.dtype)[None, :]
+    row_w = jnp.maximum(0.0, 1.0 - jnp.abs(iy - xyc[:, 1:2]))
+    col_w = jnp.maximum(0.0, 1.0 - jnp.abs(ix - xyc[:, 0:1]))
+    rows = jax.lax.dot_general(row_w, crop, (((1,), (0,)), ((), ())))
+    s = jnp.sum(rows * col_w, axis=-1)
+    return s, cov
+
+
+def compute_mask_crops(
+    masks: Sequence[np.ndarray],
+    crop_hw: tuple | None = None,
+    margin: int = 2,
+) -> tuple[np.ndarray, np.ndarray, tuple]:
+    """Host-side content crops for the stay-inside term.
+
+    Args:
+      masks: list of ``[H, W]`` masks (full images; any binarizable
+        scale).
+      crop_hw: static crop shape ``(Hc, Wc)``; None picks the smallest
+        shape containing every view's content + ``margin``, rounded up to
+        (8, 128) multiples (TPU tiling), clipped to the image.
+      margin: zero-pixel border kept around the content so bilinear taps
+        at the content boundary stay inside the crop.
+
+    Returns:
+      ``(crops [Vm, Hc, Wc] float32, origins [Vm, 2] float32 (x0, y0),
+      (Hc, Wc))``.  Raises ValueError if a view's content + margin cannot
+      fit in the requested ``crop_hw``.
+    """
+    bins = [binarize_mask(m) for m in masks]
+    H, W = bins[0].shape
+    boxes = []
+    for b in bins:
+        ys, xs = np.nonzero(b)
+        if ys.size == 0:
+            boxes.append((0, 1, 0, 1))
+        else:
+            boxes.append((int(ys.min()), int(ys.max()) + 1,
+                          int(xs.min()), int(xs.max()) + 1))
+    need_h = max(y1 - y0 for y0, y1, _, _ in boxes) + 2 * margin
+    need_w = max(x1 - x0 for _, _, x0, x1 in boxes) + 2 * margin
+    if crop_hw is None:
+        Hc = min(H, int(-(-need_h // 8) * 8))
+        Wc = min(W, int(-(-need_w // 128) * 128))
+    else:
+        Hc, Wc = crop_hw
+        if (need_h > Hc and Hc < H) or (need_w > Wc and Wc < W):
+            raise ValueError(
+                f"mask content {need_h}x{need_w} exceeds crop {Hc}x{Wc}"
+            )
+    crops = np.zeros((len(bins), Hc, Wc), np.float32)
+    origins = np.zeros((len(bins), 2), np.float32)
+    for i, (b, (y0, y1, x0, x1)) in enumerate(zip(bins, boxes)):
+        # window containing content + margin, shifted to fit the image
+        oy = min(max(y0 - margin, 0), H - Hc)
+        ox = min(max(x0 - margin, 0), W - Wc)
+        crops[i] = b[oy:oy + Hc, ox:ox + Wc]
+        origins[i] = (ox, oy)
+    return crops, origins, (Hc, Wc)
+
+
 def _separable_bilinear_weights(shape, xy, dtype, imsize):
     """Hinge weight matrices ``(row_w [N, H], col_w [N, W])`` whose outer
     product per point is the zero-padded bilinear tap pattern of
@@ -379,6 +582,10 @@ def silhouette_loss(
     epsilon: float = 10.0,
     imsize: float = 512.0,
     terms: tuple = ("icp", "binary"),
+    mask_crops: jax.Array | None = None,
+    mask_crop_origins: jax.Array | None = None,
+    mask_view_valid: jax.Array | None = None,
+    full_hw: tuple | None = None,
 ) -> jax.Array:
     """Multi-view mask loss for one frame.
 
@@ -399,12 +606,36 @@ def silhouette_loss(
     "outside"), not all-zeros — an all-zero pad would penalize every
     projected vertex and push the body out of the image.
     ``fitting.body_fitting.build_observations`` pads this way.
+
+    CROP PATH: when ``mask_crops [Vm, Hc, Wc]`` + ``mask_crop_origins
+    [Vm, 2]`` (from :func:`compute_mask_crops`) are given, the mask
+    samples run on the content crops and the coverage term uses the
+    closed form against ``full_hw`` — identical values (~1 ulp in
+    coverage), a measured ~1.6x on the stay-inside kernel at 512^2
+    (BENCH_NOTES r5).  ``masks`` may then be None; padded views are
+    zeroed by ``mask_view_valid`` instead of the all-ones convention
+    (closed-form coverage cannot see an all-ones pad).
     """
     from bodyfitting_tpu.ops.camera import perspective_projection
 
+    use_crops = mask_crops is not None
+    if use_crops:
+        if full_hw is None:
+            full_hw = (int(imsize), int(imsize))
+        if mask_view_valid is None:
+            mask_view_valid = jnp.ones(mask_crops.shape[0],
+                                       mask_crops.dtype)
+        if masks is None:
+            masks = jnp.zeros((mask_crops.shape[0], 1, 1),
+                              mask_crops.dtype)  # unused placeholder
+    else:
+        mask_crops = jnp.zeros((w2cs.shape[0], 1, 1), w2cs.dtype)
+        mask_crop_origins = jnp.zeros((w2cs.shape[0], 2), w2cs.dtype)
+        mask_view_valid = jnp.ones(w2cs.shape[0], w2cs.dtype)
+
     pts3d = verts[::vertex_stride]
 
-    def per_view(w2c, K, contour, cvalid, mask):
+    def per_view(w2c, K, contour, cvalid, mask, crop, origin, vvalid):
         proj = perspective_projection(
             pts3d[None], w2c[None, :3, :3], w2c[None, :3, 3], K[None]
         )[0]                                               # [M, 2]
@@ -412,15 +643,23 @@ def silhouette_loss(
             (proj[:, 0] >= 0) & (proj[:, 0] < imsize)
             & (proj[:, 1] >= 0) & (proj[:, 1] < imsize)
         )
+
+        def stay_cov(pts):
+            if use_crops:
+                return _stay_inside_cov_crop(
+                    crop, origin, pts, imsize, full_hw
+                )
+            return _stay_inside_cov(mask, pts, imsize)
+
         if "icp" not in terms:
             icp = jnp.zeros((), proj.dtype)
-            sampled, coverage = _stay_inside_cov(mask, proj, imsize)
-            return icp, jnp.sum(coverage - sampled)
+            sampled, coverage = stay_cov(proj)
+            return icp, vvalid * jnp.sum(coverage - sampled)
         # contour -> model matching over inside-projecting vertices,
         # gradients stopped through the argmin (non-differentiable
         # anyway); matched-pair distances recompute through the match so
         # the backward never scatters into a [P, M] matrix.
-        H, W = mask.shape
+        H, W = full_hw if use_crops else mask.shape
         if _use_pallas_match():
             # fused kernel returns the payloads directly: no [P, M]
             # one-hot and no [P, H]/[P, W] selection matrices in HBM
@@ -466,6 +705,13 @@ def silhouette_loss(
         my = jnp.clip(
             jax.lax.stop_gradient(matched[:, 1]).astype(jnp.int32), 0, H - 1
         )
+        # in crop mode the matched-pixel lookup runs on the crop too:
+        # every nonzero mask pixel is inside the crop, so an
+        # outside-the-crop pixel reads 0 from either image
+        look_img = crop if use_crops else mask
+        mxy = jnp.stack([mx, my], -1).astype(look_img.dtype)
+        if use_crops:
+            mxy = mxy - origin
         if _use_pallas_stay_inside():
             # nearest-sample at integer pixels == bilinear at those
             # integer coordinates, exactly (hinge weight 1 at the pixel,
@@ -475,21 +721,22 @@ def silhouette_loss(
             )
 
             mask_at = bilinear_cov_grads(
-                mask,
-                jnp.stack([mx, my], -1).astype(mask.dtype),
+                look_img,
+                mxy,
                 interpret=jax.default_backend() != "tpu",
                 with_grads=False,
-                row_window=STAY_INSIDE_ROW_WINDOW,
+                with_cov=False,
             )[0]
         else:
             # nearest-sample the mask at the matched pixels, one-hot
+            Hl, Wl = look_img.shape
             rowsel = (
-                my[:, None] == jnp.arange(H, dtype=my.dtype)[None, :]
-            ).astype(mask.dtype)                           # [P, H]
+                mxy[:, 1:2] == jnp.arange(Hl, dtype=look_img.dtype)[None]
+            ).astype(look_img.dtype)                       # [P, Hl]
             colsel = (
-                mx[:, None] == jnp.arange(W, dtype=mx.dtype)[None, :]
-            ).astype(mask.dtype)                           # [P, W]
-            mask_at = jnp.sum((rowsel @ mask) * colsel, axis=-1)
+                mxy[:, 0:1] == jnp.arange(Wl, dtype=look_img.dtype)[None]
+            ).astype(look_img.dtype)                       # [P, Wl]
+            mask_at = jnp.sum((rowsel @ look_img) * colsel, axis=-1)
         outside_mask = (mask_at < 0.1).astype(proj.dtype)
         coeff = outside_mask * (epsilon - 1.0) + 1.0
         icp = jnp.sum(mindist * coeff * cvalid)
@@ -502,11 +749,14 @@ def silhouette_loss(
         # the constant-1 image with separable zero-padded bilinear
         # weights factorizes into rowsum * colsum.
         if "binary" in terms:
-            sampled, coverage = _stay_inside_cov(mask, proj, imsize)
-            binary = jnp.sum(coverage - sampled)
+            sampled, coverage = stay_cov(proj)
+            binary = vvalid * jnp.sum(coverage - sampled)
         else:
             binary = jnp.zeros((), proj.dtype)
         return icp, binary
 
-    icp, binary = jax.vmap(per_view)(w2cs, Ks, contours, contour_valid, masks)
+    icp, binary = jax.vmap(per_view)(
+        w2cs, Ks, contours, contour_valid, masks,
+        mask_crops, mask_crop_origins, mask_view_valid,
+    )
     return jnp.sum(icp) + jnp.sum(binary) * epsilon

@@ -1085,7 +1085,7 @@ def skinning_xla(weights: jax.Array, A12: jax.Array,
 
 
 def _bilinear_cov_kernel(xy_ref, img_ref, out_ref, *, H, W,
-                         with_grads=True):
+                         with_grads=True, with_cov=True):
     """One point-tile of :func:`bilinear_cov_grads`.
 
     The separable zero-padded bilinear weights (``max(0, 1-|i-y|)``
@@ -1124,8 +1124,9 @@ def _bilinear_cov_kernel(xy_ref, img_ref, out_ref, *, H, W,
         rows = jnp.dot(rw.astype(bf), img,
                        preferred_element_type=jnp.float32).astype(dt)
         s = jnp.sum(rows * cw, axis=1)                    # sampled
-        cov = jnp.sum(rw, axis=1) * jnp.sum(cw, axis=1)   # coverage
         z = jnp.zeros_like(s)
+        cov = (jnp.sum(rw, axis=1) * jnp.sum(cw, axis=1)  # coverage
+               if with_cov else z)
         out_ref[:] = jnp.stack([s, cov, z, z, z, z, z, z], axis=0)
         return
     # d rw / dy = sign(i - y) on the open support of the hinge.  (At the
@@ -1140,12 +1141,20 @@ def _bilinear_cov_kernel(xy_ref, img_ref, out_ref, *, H, W,
     rows = br[:rw.shape[0]].astype(dt)
     drows = br[rw.shape[0]:].astype(dt)
     s = jnp.sum(rows * cw, axis=1)                        # sampled
-    rsum = jnp.sum(rw, axis=1)
-    csum = jnp.sum(cw, axis=1)
-    cov = rsum * csum                                     # coverage
     z = jnp.zeros_like(s)
     ds_dx = jnp.sum(rows * dcw, axis=1)
     ds_dy = jnp.sum(drows * cw, axis=1)
+    if not with_cov:
+        # crop mode (losses.silhouette stay-inside on content-cropped
+        # masks): coverage vs the FULL image bounds is closed-form in
+        # XLA, so the kernel skips the rsum/csum machinery entirely
+        out_ref[:] = jnp.stack(
+            [s, z, ds_dx, ds_dy, z, z, z, z], axis=0,
+        )
+        return
+    rsum = jnp.sum(rw, axis=1)
+    csum = jnp.sum(cw, axis=1)
+    cov = rsum * csum                                     # coverage
     dc_dx = rsum * jnp.sum(dcw, axis=1)
     dc_dy = jnp.sum(drw, axis=1) * csum
     out_ref[:] = jnp.stack(
@@ -1249,6 +1258,111 @@ def _bilinear_cov_kernel_windowed(xy_ref, img_ref, out_ref, *, H, W, Hw,
     )
 
 
+def _bilinear_cov_kernel_banded(xy_ref, img_ref, out_ref, *, H, W, Hb, NB,
+                                with_grads=True):
+    """Row-BANDED variant of :func:`_bilinear_cov_kernel` (grid axis, not
+    an in-kernel loop).
+
+    The windowed fori_loop variant cut the dot's row extent 8-16x but
+    measured SLOWER than the full sweep at production shape
+    (bench_stay_inside.py r5: 10.2 vs 9.0 ms/iter) — its dynamic
+    ``pl.ds`` sublane loads defeat Mosaic's lowering even when 8-aligned.
+    This form instead makes the row band a SECOND (minor) grid axis of
+    ``NB`` static ``Hb``-row bands: the image block per step IS the band
+    (static index map, normal DMA pipelining), the out block is revisited
+    across the band axis and accumulates, and bands whose rows cannot
+    intersect the tile's hinge support skip all compute via ``pl.when``
+    (points project row-coherently per tile under
+    ``FitConfig.mask_point_order='height'``, so typically 1-2 of NB bands
+    are active).  The MXU dot shrinks from ``[2tN, H] @ [H, W]`` — which
+    bound the production mask fit at ~86%% MXU occupancy for 4 useful
+    taps per point — to one ``[2tN, Hb] @ [Hb, W]`` per ACTIVE band.
+    Unconditionally correct for any point distribution: the NB bands
+    tile all H rows, over-inclusive overlap tests only add zero-weight
+    rows.
+
+    Accumulation layout: out rows 0/2/3 accumulate s / ds_dx / ds_dy,
+    rows 6/7 accumulate rsum / drsum; the last band step finalizes
+    cov = rsum * csum and the coverage derivatives (the x side is
+    band-independent) and zeroes the scratch rows.
+    """
+    k = pl.program_id(1)       # minor grid axis = band index (user grid
+    #                            (nt, NB); vmap batch dims are excluded
+    #                            from user program_id numbering)
+    x = xy_ref[:, 0:1]                                    # [tN, 1]
+    y = xy_ref[:, 1:2]
+    tN = y.shape[0]
+    dt = xy_ref.dtype
+    bf = jnp.bfloat16
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    # Band k holds rows [k*Hb, (k+1)*Hb).  A point's hinge support is
+    # rows [floor(y), floor(y)+1]; the tile intersects the band iff
+    # ymax >= k*Hb - 1 and ymin < (k+1)*Hb (+1 slack; over-inclusion
+    # only adds zero-weight rows).
+    ymin = jnp.min(y)
+    ymax = jnp.max(y)
+    band_lo = (k * Hb).astype(dt)
+    overlap = (ymax >= band_lo - 1.0) & (ymin < band_lo + Hb)
+
+    @pl.when(overlap)
+    def _accumulate():
+        iy = (
+            k * Hb
+            + jax.lax.broadcasted_iota(jnp.int32, (1, Hb), 1)
+        ).astype(dt)
+        ady = jnp.abs(iy - y)                             # [tN, Hb]
+        rw = jnp.maximum(0.0, 1.0 - ady)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(dt)
+        adx = jnp.abs(ix - x)                             # [tN, W]
+        cw = jnp.maximum(0.0, 1.0 - adx)
+        img_k = img_ref[:]                                # [Hb, W] bf16
+        if with_grads:
+            drw = jnp.where(rw > 0.0, jnp.sign(iy - y), 0.0)
+            both = jnp.concatenate([rw.astype(bf), drw.astype(bf)], axis=0)
+            br = jnp.dot(both, img_k, preferred_element_type=jnp.float32)
+            rows = br[:tN].astype(dt)
+            drows = br[tN:].astype(dt)
+            dcw = jnp.where(cw > 0.0, jnp.sign(ix - x), 0.0)
+            ds_dx = jnp.sum(rows * dcw, axis=1)
+            ds_dy = jnp.sum(drows * cw, axis=1)
+            drsum = jnp.sum(drw, axis=1)
+        else:
+            rows = jnp.dot(rw.astype(bf), img_k,
+                           preferred_element_type=jnp.float32).astype(dt)
+            ds_dx = ds_dy = drsum = jnp.zeros((tN,), dt)
+        s = jnp.sum(rows * cw, axis=1)
+        rsum = jnp.sum(rw, axis=1)
+        z = jnp.zeros((tN,), dt)
+        out_ref[:] = out_ref[:] + jnp.stack(
+            [s, z, ds_dx, ds_dy, z, z, rsum, drsum], axis=0
+        )
+
+    @pl.when(k == NB - 1)
+    def _finalize():
+        ix = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(dt)
+        adx = jnp.abs(ix - x)
+        cw = jnp.maximum(0.0, 1.0 - adx)
+        csum = jnp.sum(cw, axis=1)
+        acc = out_ref[:]
+        rsum = acc[6]
+        z = jnp.zeros((tN,), dt)
+        if with_grads:
+            dcw = jnp.where(cw > 0.0, jnp.sign(ix - x), 0.0)
+            dcsum = jnp.sum(dcw, axis=1)
+            out_ref[:] = jnp.stack(
+                [acc[0], rsum * csum, acc[2], acc[3],
+                 rsum * dcsum, acc[7] * csum, z, z], axis=0,
+            )
+        else:
+            out_ref[:] = jnp.stack(
+                [acc[0], rsum * csum, z, z, z, z, z, z], axis=0,
+            )
+
+
 def bilinear_cov_grads(
     img: jax.Array,
     xy: jax.Array,
@@ -1256,6 +1370,8 @@ def bilinear_cov_grads(
     interpret: bool = False,
     with_grads: bool = True,
     row_window: int | None = None,
+    band_rows: int | None = None,
+    with_cov: bool = True,
 ):
     """Fused zero-padded bilinear sample + coverage + position gradients.
 
@@ -1290,17 +1406,40 @@ def bilinear_cov_grads(
         H % 8 != 0 or row_window % 8 != 0 or row_window >= H
     ):
         row_window = None
+    if band_rows is not None and (H % band_rows != 0 or band_rows >= H):
+        band_rows = None
+    # operand cast hoisted out of the kernel: the image is loop-constant
+    # in the fit scan, so the bf16 copy is made once, not per grid step,
+    # and the VMEM-resident block halves
+    img_bf = img.astype(jnp.bfloat16)
+    if band_rows is not None:
+        NB = H // band_rows
+        kern = functools.partial(
+            _bilinear_cov_kernel_banded, H=H, W=W, Hb=band_rows, NB=NB,
+            with_grads=with_grads,
+        )
+        outs = pl.pallas_call(
+            kern,
+            grid=(nt, NB),
+            in_specs=[
+                pl.BlockSpec((point_tile, 2), lambda i, k: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((band_rows, W), lambda i, k: (k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, point_tile), lambda i, k: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, nt * point_tile), xy.dtype),
+            interpret=interpret,
+        )(xy, img_bf)
+        return outs[:6, :N]
     kern = (
         functools.partial(_bilinear_cov_kernel_windowed, H=H, W=W,
                           Hw=row_window, with_grads=with_grads)
         if row_window is not None
         else functools.partial(_bilinear_cov_kernel, H=H, W=W,
-                               with_grads=with_grads)
+                               with_grads=with_grads, with_cov=with_cov)
     )
-    # operand cast hoisted out of the kernel: the image is loop-constant
-    # in the fit scan, so the bf16 copy is made once, not per grid step,
-    # and the VMEM-resident block halves
-    img_bf = img.astype(jnp.bfloat16)
     outs = pl.pallas_call(
         kern,
         grid=(nt,),
