@@ -162,7 +162,28 @@ def resolve_model_path(model_path: str, smpl_type: str,
     return model_path
 
 
+# Memoized by the args that determine the result, so repeated Runner
+# constructions in one process (steady-state benches, long-running
+# services fitting many subjects) share one model/prior object — which
+# in turn lets body_fitting's jitted-program cache (keyed on object
+# identity) hit across Runners instead of retracing per Runner.
+_MODEL_CACHE: dict = {}
+_PRIOR_CACHE: dict = {}
+
+
 def load_body_model(args, gender: str = "neutral") -> bm.BodyModel:
+    key = (
+        args.model_path, args.smpl_type, gender,
+        getattr(args, "synthetic_num_verts", None),
+    )
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    model = _load_body_model_uncached(args, gender)
+    _MODEL_CACHE[key] = model
+    return model
+
+
+def _load_body_model_uncached(args, gender: str = "neutral") -> bm.BodyModel:
     if args.model_path and os.path.exists(args.model_path):
         path = resolve_model_path(args.model_path, args.smpl_type, gender)
         if gender != "neutral" and path == args.model_path and \
@@ -190,9 +211,15 @@ def load_body_model(args, gender: str = "neutral") -> bm.BodyModel:
 def load_prior(args):
     from bodyfitting_tpu.losses import priors
 
+    key = args.gmm_path
+    if key in _PRIOR_CACHE:
+        return _PRIOR_CACHE[key]
     if args.gmm_path and os.path.exists(args.gmm_path):
-        return priors.load_gmm_prior(args.gmm_path)
-    return priors.synthetic_gmm_prior()
+        prior = priors.load_gmm_prior(args.gmm_path)
+    else:
+        prior = priors.synthetic_gmm_prior()
+    _PRIOR_CACHE[key] = prior
+    return prior
 
 
 class Runner:

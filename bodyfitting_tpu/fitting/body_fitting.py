@@ -21,7 +21,7 @@ from bodyfitting_tpu import constants
 from bodyfitting_tpu.fitting import smplify
 from bodyfitting_tpu.io import pack_keypoints, save_fit_outputs
 from bodyfitting_tpu.models import body_model as bm
-from bodyfitting_tpu.ops.rotations import rotmat_to_aa
+from bodyfitting_tpu.ops.rotations import rotmat_to_aa_np
 
 
 @dataclasses.dataclass
@@ -90,7 +90,10 @@ def hmr_init(
 
     rotmat = np.array(rotmat)
     rotmat[0] = np.asarray(c2w)[:3, :3] @ rotmat[0]
-    poses = np.asarray(rotmat_to_aa(jnp.asarray(rotmat))).reshape(-1)
+    # host-side conversion: this runs once PER FRAME in the app run
+    # loops, and the eager jax chain cost ~0.2-0.4 s/frame of tunnel
+    # dispatches (profiled r5) for a [24, 3, 3] input
+    poses = rotmat_to_aa_np(rotmat).reshape(-1)
     return betas.astype(np.float32), poses.astype(np.float32)
 
 
@@ -205,21 +208,29 @@ def build_observations(
             contours, valid = resample_contours(
                 contours, valid, contour_resample
             )
-        # same binarisation rule as extract_contours — a float 0/1 mask
-        # thresholded at 128 would yield an all-zero stay-inside image
-        # while its contours extract fine (silently inverted loss)
-        mask_arr = np.stack([binarize_mask(m) for m in masks])
+        mask_arr = None
+        if not mask_crop:
+            # same binarisation rule as extract_contours — a float 0/1
+            # mask thresholded at 128 would yield an all-zero stay-inside
+            # image while its contours extract fine (silently inverted
+            # loss).  On the crop path the full-resolution binarized
+            # stack is never built or shipped at all: compute_mask_crops
+            # binarizes internally, and shipping H x W masks to the
+            # device only to replace them with crops cost ~8 MB of h2d
+            # per frame over the tunnel (profiled r5).
+            mask_arr = np.stack([binarize_mask(m) for m in masks])
         mw2cs = np.linalg.inv(np.asarray(mask_c2ws, np.float32))
         mKs = np.asarray(mask_Ks, np.float32)
         Vm = mask_num_views or len(masks)
         if Vm > len(masks):
-            H, W = mask_arr.shape[1:3]
             P = contours.shape[1]
             pad_n = Vm - len(masks)
             # inert padding: full masks, invalid contours, identity cameras
-            mask_arr = np.concatenate(
-                [mask_arr, np.ones((pad_n, H, W), np.float32)]
-            )
+            if mask_arr is not None:
+                H, W = mask_arr.shape[1:3]
+                mask_arr = np.concatenate(
+                    [mask_arr, np.ones((pad_n, H, W), np.float32)]
+                )
             contours = np.concatenate(
                 [contours, np.zeros((pad_n, P, 2), np.float32)]
             )
@@ -234,7 +245,7 @@ def build_observations(
             mKs = np.concatenate([mKs, eye3])
         obs = dataclasses.replace(
             obs,
-            masks=jnp.asarray(mask_arr),
+            masks=None if mask_arr is None else jnp.asarray(mask_arr),
             mask_w2cs=jnp.asarray(mw2cs),
             mask_Ks=jnp.asarray(mKs),
             contours=jnp.asarray(contours),
@@ -371,6 +382,40 @@ def check_smpl_fitting(image, verts, c2w, K):
     return out
 
 
+# Module-level cache of jitted batched-fit programs (same pattern as the
+# texfit program cache, fitting/texture.py).  jax.jit's own C++ fast path
+# caches per *callable*: a fresh ``jax.jit(lambda ...)`` closure per call
+# misses it, so every fit_frames_batched call paid a full retrace AND a
+# persistent-compilation-cache executable read (~17 s warm per Runner on
+# the tunnel, profiled r5).  Keyed on (id(model), id(prior), config) with
+# weakref identity checks so a dead-and-recycled id can never serve a
+# stale program.
+_FIT_PROGRAMS: dict = {}
+
+
+def _batched_fit_program(model, config, pose_prior_fn):
+    import weakref
+
+    key = (id(model), id(pose_prior_fn), config)
+    ent = _FIT_PROGRAMS.get(key)
+    if ent is not None:
+        mref, pref, fn = ent
+        if mref() is model and pref() is pose_prior_fn:
+            return fn
+    fn = jax.jit(
+        jax.vmap(lambda o, i: smplify.fit(model, config, o, i,
+                                          pose_prior_fn))
+    )
+    try:
+        mref, pref = weakref.ref(model), weakref.ref(pose_prior_fn)
+    except TypeError:       # non-weakref-able prior: skip caching
+        return fn
+    if len(_FIT_PROGRAMS) > 32:     # bound growth across many configs
+        _FIT_PROGRAMS.clear()
+    _FIT_PROGRAMS[key] = (mref, pref, fn)
+    return fn
+
+
 def fit_frames_batched(
     model: bm.BodyModel,
     config: smplify.FitConfig,
@@ -381,10 +426,7 @@ def fit_frames_batched(
     """Stack per-frame observations and fit them all in one vmapped jit."""
     obs = jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list)
     init = jax.tree.map(lambda *xs: jnp.stack(xs), *init_list)
-    fit = jax.jit(
-        jax.vmap(lambda o, i: smplify.fit(model, config, o, i,
-                                          pose_prior_fn))
-    )
+    fit = _batched_fit_program(model, config, pose_prior_fn)
     return fit(obs, init)
 
 

@@ -95,3 +95,17 @@ def test_all_ops_vmap_and_jit(rng):
     assert m.shape == (2, 4, 3, 3)
     aa2 = jax.jit(rot.rotmat_to_aa)(m)
     assert aa2.shape == (2, 4, 3)
+
+
+def test_rotmat_to_aa_np_matches_jax(rng):
+    """Host-side mirror (used by hmr_init to avoid per-frame device
+    round trips) agrees with the jax version to f32 rounding, including
+    at the identity and near-pi angles."""
+    aa = _random_aa(rng, n=128)
+    m = np.asarray(rot.rodrigues(jnp.asarray(aa)))
+    want = np.asarray(rot.rotmat_to_aa(jnp.asarray(m)))
+    got = rot.rotmat_to_aa_np(m)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    assert got.dtype == np.float32
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), (3, 3, 3))
+    np.testing.assert_array_equal(rot.rotmat_to_aa_np(eye), 0.0)
