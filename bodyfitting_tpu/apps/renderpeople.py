@@ -219,10 +219,11 @@ class Runner:
             displacement=self.disp,
             imsize=float(self.args.load_size),
         )
-        import jax
-
-        _, result, losses = jax.jit(
-            lambda o, i: smplify.fit(self.model, config, o, i, self.prior)
+        # cached jitted program: a fresh jax.jit closure per subject
+        # missed jit's fast path and paid a retrace + persistent-cache
+        # executable read (~17 s over the tunnel) on EVERY scan
+        _, result, losses = bf._fit_program(
+            self.model, config, self.prior, batched=False
         )(obs, init)
         result = {k: np.asarray(v) for k, v in result.items()}
         out_dir = os.path.join(self.output_dir, subject, "smplify")

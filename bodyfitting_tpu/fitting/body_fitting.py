@@ -393,19 +393,19 @@ def check_smpl_fitting(image, verts, c2w, K):
 _FIT_PROGRAMS: dict = {}
 
 
-def _batched_fit_program(model, config, pose_prior_fn):
+def _fit_program(model, config, pose_prior_fn, batched: bool = True):
     import weakref
 
-    key = (id(model), id(pose_prior_fn), config)
+    key = (id(model), id(pose_prior_fn), config, batched)
     ent = _FIT_PROGRAMS.get(key)
     if ent is not None:
         mref, pref, fn = ent
         if mref() is model and pref() is pose_prior_fn:
             return fn
-    fn = jax.jit(
-        jax.vmap(lambda o, i: smplify.fit(model, config, o, i,
-                                          pose_prior_fn))
+    fit_one = lambda o, i: smplify.fit(  # noqa: E731
+        model, config, o, i, pose_prior_fn
     )
+    fn = jax.jit(jax.vmap(fit_one) if batched else fit_one)
     try:
         mref, pref = weakref.ref(model), weakref.ref(pose_prior_fn)
     except TypeError:       # non-weakref-able prior: skip caching
@@ -426,7 +426,7 @@ def fit_frames_batched(
     """Stack per-frame observations and fit them all in one vmapped jit."""
     obs = jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list)
     init = jax.tree.map(lambda *xs: jnp.stack(xs), *init_list)
-    fit = _batched_fit_program(model, config, pose_prior_fn)
+    fit = _fit_program(model, config, pose_prior_fn)
     return fit(obs, init)
 
 

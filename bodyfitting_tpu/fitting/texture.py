@@ -196,6 +196,34 @@ def scene_bounds(verts: np.ndarray):
     return center, bound, float(bound[1] / 0.8)
 
 
+@functools.lru_cache(maxsize=None)
+def _scan_views_program(imgsize: int, face_block: int, background: float):
+    """Jitted all-views scan render, cached per static config.
+
+    One launch renders every ring view (vmap over w2c; the Pallas
+    z-buffer just gains a leading grid axis) and converts to uint8 ON
+    DEVICE — the eager per-view version cost 8 sequential launch chains
+    of ~dozens of tunnel dispatches each plus 4x the d2h bytes, and was
+    most of the RenderPeople prep stage (BENCH_NOTES r4: prep 174.9 s
+    of a ~295 s scan).  Scene arrays are jit arguments, not closures
+    (remote-compile tunnel rejects huge programs, CLAUDE.md).
+    """
+
+    def render_one(verts, faces, face_uvs, texture, w2c, K):
+        img, raster = render_textured(
+            verts, faces, face_uvs, texture, w2c, K, imgsize,
+            face_block=face_block, background=background,
+        )
+        mask = rz.render_silhouette(raster)
+        # same uint8 rule as np: clip to [0,1], scale, truncate
+        img_u8 = (jnp.clip(img, 0.0, 1.0) * 255).astype(jnp.uint8)
+        return img_u8, (mask * 255).astype(jnp.uint8)
+
+    return jax.jit(jax.vmap(
+        render_one, in_axes=(None, None, None, None, 0, None)
+    ))
+
+
 def render_scan_views(
     scan_verts, scan_faces, scan_face_uvs, scan_texture,
     imgsize: int = 512, viewnum: int = 8, white_bkgd: bool = False,
@@ -211,22 +239,16 @@ def render_scan_views(
     w2cs = ring_poses(center, viewnum, dist)
     K = default_K(imgsize)
 
-    imgs, masks = [], []
-    for i in range(viewnum):
-        img, raster = render_textured(
-            jnp.asarray(scan_verts), jnp.asarray(scan_faces),
-            jnp.asarray(scan_face_uvs), jnp.asarray(scan_texture),
-            jnp.asarray(w2cs[i]), jnp.asarray(K), imgsize,
-            face_block=face_block,
-            background=1.0 if white_bkgd else 0.0,
-        )
-        mask = np.asarray(rz.render_silhouette(raster)) * 255
-        imgs.append(
-            (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
-        )
-        masks.append(mask.astype(np.uint8))
+    render = _scan_views_program(
+        int(imgsize), int(face_block), 1.0 if white_bkgd else 0.0
+    )
+    imgs, masks = render(
+        jnp.asarray(scan_verts), jnp.asarray(scan_faces),
+        jnp.asarray(scan_face_uvs), jnp.asarray(scan_texture),
+        jnp.asarray(w2cs), jnp.asarray(K),
+    )
     Ks = np.stack([K] * viewnum)
-    return np.stack(imgs), np.stack(masks), w2cs, Ks
+    return np.asarray(imgs), np.asarray(masks), w2cs, Ks
 
 
 # ---------------------------------------------------------------------------
