@@ -77,6 +77,21 @@ def _nearest_kernel(tile_aabb_ref, blk_aabb_ref, tile_ub_ref, q_ref,
 
 
 def _nearest_block(q_ref, tri_ref, d2_ref, idx_ref, j, fb):
+    dist2 = _block_dist2(q_ref, tri_ref)                  # [TQ, FB]
+
+    arg = jnp.argmin(dist2, axis=1)                       # [TQ]
+    mind2 = jnp.min(dist2, axis=1)                        # [TQ]
+    cur = d2_ref[:, 0]
+    better = mind2 < cur
+    d2_ref[:, 0] = jnp.where(better, mind2, cur)
+    idx_ref[:, 0] = jnp.where(
+        better, j * fb + arg.astype(jnp.int32), idx_ref[:, 0]
+    )
+
+
+def _block_dist2(q_ref, tri_ref):
+    """[TQ, FB] point-triangle squared distances (shared by the min and
+    tie-break passes so both see bit-identical values)."""
     px = q_ref[:, 0:1]                 # [TQ, 1]
     py = q_ref[:, 1:2]
     pz = q_ref[:, 2:3]
@@ -136,16 +151,44 @@ def _nearest_block(q_ref, tri_ref, d2_ref, idx_ref, j, fb):
     ox, oy, oz = sel((d3 >= 0) & (d4 <= d3), bx, by, bz, ox, oy, oz)
     ox, oy, oz = sel((d1 <= 0) & (d2_ <= 0), ax, ay, az, ox, oy, oz)
 
-    dist2 = (px - ox) ** 2 + (py - oy) ** 2 + (pz - oz) ** 2  # [TQ, FB]
+    return (px - ox) ** 2 + (py - oy) ** 2 + (pz - oz) ** 2  # [TQ, FB]
 
-    arg = jnp.argmin(dist2, axis=1)                       # [TQ]
-    mind2 = jnp.min(dist2, axis=1)                        # [TQ]
-    cur = d2_ref[:, 0]
-    better = mind2 < cur
-    d2_ref[:, 0] = jnp.where(better, mind2, cur)
-    idx_ref[:, 0] = jnp.where(
-        better, j * fb + arg.astype(jnp.int32), idx_ref[:, 0]
-    )
+
+_BIG_IDX = 2**30    # python int: a jnp scalar would be captured as a
+                    # pallas constant (must be passed as input)
+
+
+def _nearest_tie_kernel(tile_aabb_ref, blk_aabb_ref, tile_ub_ref, q_ref,
+                        thr_ref, tri_ref, orig_ref, low_ref):
+    """Lowest ORIGINAL face index whose distance^2 <= the per-query
+    threshold — the second pass of ops.nearest's tie-break rule, with the
+    same AABB block cull as the min pass (the winning block always has
+    d2_lb <= d2min <= thresh, so it is never culled)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        low_ref[:] = jnp.full_like(low_ref, _BIG_IDX)
+
+    d2_lb = jnp.zeros((), jnp.float32)
+    for a in range(3):
+        gap = jnp.maximum(
+            jnp.maximum(
+                blk_aabb_ref[j, a] - tile_aabb_ref[i, a + 3],
+                tile_aabb_ref[i, a] - blk_aabb_ref[j, a + 3],
+            ),
+            0.0,
+        )
+        d2_lb = d2_lb + gap * gap
+
+    @pl.when(d2_lb <= tile_ub_ref[i, 0])
+    def _body():
+        dist2 = _block_dist2(q_ref, tri_ref)              # [TQ, FB]
+        cand = jnp.where(
+            dist2 <= thr_ref[:, 0:1], orig_ref[0:1, :], _BIG_IDX
+        )
+        low_ref[:, 0] = jnp.minimum(low_ref[:, 0], cand.min(axis=1))
 
 
 def _morton_codes(pts: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
@@ -181,7 +224,9 @@ def build_nearest_index(tri: jax.Array):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("query_tile", "face_block", "ub_samples", "interpret"),
+    static_argnames=(
+        "query_tile", "face_block", "ub_samples", "interpret", "tie_break",
+    ),
 )
 def nearest_d2_idx(
     points: jax.Array,
@@ -191,6 +236,8 @@ def nearest_d2_idx(
     ub_samples: int = 512,
     interpret: bool = False,
     index=None,
+    tie_break: bool = False,
+    tie_verts: jax.Array | None = None,
 ):
     """Min distance^2 + winning face index for each query.
 
@@ -200,6 +247,14 @@ def nearest_d2_idx(
     sampled-face prepass gives each query tile a distance upper bound,
     and the kernel skips any block whose AABB lies beyond it.  Pass a
     prebuilt ``index`` (:func:`build_nearest_index`) to skip the sort.
+
+    ``tie_break=True`` runs a second culled pass applying
+    ``ops.nearest``'s implementation-independent tie rule (lowest
+    original face index within ``tie_threshold`` of the minimum;
+    ``tie_verts`` supplies the bbox for the threshold's absolute term,
+    defaulting to the triangle vertices).  Both passes share
+    ``_block_dist2`` so the tie set is evaluated on bit-identical
+    distances.
     """
     from bodyfitting_tpu.ops.nearest import closest_point_on_triangles
 
@@ -288,12 +343,57 @@ def nearest_d2_idx(
         ],
         interpret=interpret,
     )(tile_aabb, blk_aabb, tile_ub, points, soa)
-    # undo both sorts: face ids back to caller numbering, results back to
-    # the caller's query order
-    idx = order.astype(jnp.int32)[idx[:Q, 0]]
-    d2 = d2[:Q, 0]
     inv_q = jnp.argsort(q_order)
-    return d2[inv_q], idx[inv_q]
+    if not tie_break:
+        # undo both sorts: face ids back to caller numbering, results
+        # back to the caller's query order
+        idx = order.astype(jnp.int32)[idx[:Q, 0]]
+        return d2[:Q, 0][inv_q], idx[inv_q]
+
+    from bodyfitting_tpu.ops.nearest import tie_threshold
+
+    tv = tie_verts if tie_verts is not None else tri.reshape(-1, 3)
+    thr = tie_threshold(d2[:, 0], tv)                      # [qt*QT]
+    if qpad:
+        # padded queries match nothing (their thresh is driven by the
+        # zero-point distances; force-exclude them instead)
+        thr = thr.at[Q:].set(-1.0)
+    tile_thr = thr.reshape(qt, query_tile).max(1)[:, None]
+    orig = order.astype(jnp.int32)[None, :]                # [1, F]
+    if fpad:
+        orig = jnp.concatenate(
+            [orig, jnp.full((1, fpad), _BIG_IDX, jnp.int32)], axis=1
+        )
+    tie_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(qt, fb),
+        in_specs=[
+            pl.BlockSpec((query_tile, 3), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, 1), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, face_block), lambda i, j, *_: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, face_block), lambda i, j, *_: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((query_tile, 1), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    (low,) = pl.pallas_call(
+        _nearest_tie_kernel,
+        grid_spec=tie_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qt * query_tile, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_aabb, blk_aabb, tile_thr, points, thr[:, None], soa, orig)
+    # the min face always satisfies d2 <= thresh, so the tie pass alone
+    # determines the index; clamp guards the (impossible) all-culled case
+    idx_tb = jnp.minimum(low[:Q, 0], order.astype(jnp.int32)[idx[:Q, 0]])
+    return d2[:Q, 0][inv_q], idx_tb[inv_q]
 
 
 def tris_to_soa(verts: jax.Array, faces: jax.Array) -> jax.Array:
@@ -303,7 +403,8 @@ def tris_to_soa(verts: jax.Array, faces: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("query_tile", "face_block", "interpret")
+    jax.jit,
+    static_argnames=("query_tile", "face_block", "interpret", "tie_break"),
 )
 def nearest_point_on_mesh_pallas(
     points: jax.Array,
@@ -312,13 +413,22 @@ def nearest_point_on_mesh_pallas(
     query_tile: int = 256,
     face_block: int = 512,
     interpret: bool = False,
+    tie_break: bool = False,
 ):
-    """Drop-in Pallas version of ``ops.nearest.nearest_point_on_mesh``."""
+    """Drop-in Pallas version of ``ops.nearest.nearest_point_on_mesh``.
+
+    ``tie_break=True`` applies the same implementation-independent tie
+    rule (lowest face index within the rounding band, point recomputed
+    on the tie-broken face) so the result matches the XLA sweep's — the
+    AABB-culled replacement for the exact in-fit mesh term, which the
+    XLA version evaluates as TWO full O(Q*F) sweeps per iteration.
+    """
     from bodyfitting_tpu.ops.nearest import closest_point_on_triangles
 
     d2, idx = nearest_d2_idx(
         points, verts[faces], query_tile=query_tile,
         face_block=face_block, interpret=interpret,
+        tie_break=tie_break, tie_verts=verts,
     )
     tri = verts[faces[idx]]                               # [Q, 3, 3]
     pt = closest_point_on_triangles(

@@ -35,6 +35,53 @@ def test_nearest_pallas_matches_xla(mesh, rng):
     )
 
 
+def test_nearest_pallas_tiebreak_matches_xla(mesh, rng):
+    """The culled tie-break pass reproduces the XLA sweep's
+    implementation-independent (lowest-index-in-band) face choice."""
+    verts, faces = mesh
+    points = jnp.asarray(
+        rng.normal(scale=1.5, size=(37, 3)).astype(np.float32)
+    )
+    pt_ref, idx_ref, d2_ref = nearest.nearest_point_on_mesh(
+        points, verts, faces, face_block=16, tie_break=True
+    )
+    pt, idx, d2 = pk.nearest_point_on_mesh_pallas(
+        points, verts, faces, query_tile=16, face_block=32,
+        interpret=True, tie_break=True,
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_allclose(
+        np.asarray(d2), np.asarray(d2_ref), atol=1e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(pt), np.asarray(pt_ref), atol=1e-3
+    )
+
+
+def test_nearest_pallas_tiebreak_on_shared_edge():
+    """A query in a shared edge's Voronoi region is exactly equidistant
+    from both incident faces; both engines must pick the LOWER index.
+    Face order is adversarial (the high-index face listed first)."""
+    verts = jnp.asarray(np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, 1, -1], [0.5, -1, -1]], np.float32
+    ))
+    # duplicate the two incident faces a few times so running-argmin
+    # order and block layout differ between engines
+    faces = jnp.asarray(np.array(
+        [[0, 1, 3], [0, 1, 2], [0, 1, 3], [0, 1, 2]], np.int32
+    ))
+    points = jnp.asarray(np.array([[0.5, 0.0, 1.0]], np.float32))
+    _, idx_ref, _ = nearest.nearest_point_on_mesh(
+        points, verts, faces, face_block=2, tie_break=True
+    )
+    _, idx, _ = pk.nearest_point_on_mesh_pallas(
+        points, verts, faces, query_tile=8, face_block=2,
+        interpret=True, tie_break=True,
+    )
+    assert int(idx_ref[0]) == 0
+    assert int(idx[0]) == 0
+
+
 def test_nearest_pallas_padding_cases(rng):
     # query & face counts that do NOT divide the tiles
     verts = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
