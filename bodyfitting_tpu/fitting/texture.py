@@ -198,15 +198,17 @@ def scene_bounds(verts: np.ndarray):
 
 @functools.lru_cache(maxsize=None)
 def _scan_views_program(imgsize: int, face_block: int, background: float):
-    """Jitted all-views scan render, cached per static config.
+    """Jitted one-view scan render, cached per static config.
 
-    One launch renders every ring view (vmap over w2c; the Pallas
-    z-buffer just gains a leading grid axis) and converts to uint8 ON
-    DEVICE — the eager per-view version cost 8 sequential launch chains
-    of ~dozens of tunnel dispatches each plus 4x the d2h bytes, and was
-    most of the RenderPeople prep stage (BENCH_NOTES r4: prep 174.9 s
-    of a ~295 s scan).  Scene arrays are jit arguments, not closures
-    (remote-compile tunnel rejects huge programs, CLAUDE.md).
+    The eager per-view version cost 8 sequential launch chains of
+    ~dozens of tunnel dispatches each plus 4x the d2h bytes (uint8
+    conversion now happens ON DEVICE), and was most of the RenderPeople
+    prep stage (BENCH_NOTES r4: prep 174.9 s of a ~295 s scan).  The
+    view axis is deliberately a HOST loop over this one cached program:
+    batching it (jit(vmap)) exploded the Pallas-rasterizer compile the
+    same way lax.map around it does (CLAUDE.md; measured r5: prep
+    175 -> 1699 s).  Scene arrays are jit arguments, not closures (the
+    remote-compile tunnel rejects huge programs, CLAUDE.md).
     """
 
     def render_one(verts, faces, face_uvs, texture, w2c, K):
@@ -219,9 +221,7 @@ def _scan_views_program(imgsize: int, face_block: int, background: float):
         img_u8 = (jnp.clip(img, 0.0, 1.0) * 255).astype(jnp.uint8)
         return img_u8, (mask * 255).astype(jnp.uint8)
 
-    return jax.jit(jax.vmap(
-        render_one, in_axes=(None, None, None, None, 0, None)
-    ))
+    return jax.jit(render_one)
 
 
 def render_scan_views(
@@ -242,13 +242,15 @@ def render_scan_views(
     render = _scan_views_program(
         int(imgsize), int(face_block), 1.0 if white_bkgd else 0.0
     )
-    imgs, masks = render(
-        jnp.asarray(scan_verts), jnp.asarray(scan_faces),
-        jnp.asarray(scan_face_uvs), jnp.asarray(scan_texture),
-        jnp.asarray(w2cs), jnp.asarray(K),
-    )
+    sv, sf = jnp.asarray(scan_verts), jnp.asarray(scan_faces)
+    su, st = jnp.asarray(scan_face_uvs), jnp.asarray(scan_texture)
+    Kj = jnp.asarray(K)
+    out = [render(sv, sf, su, st, jnp.asarray(w2cs[i]), Kj)
+           for i in range(viewnum)]
+    imgs = np.stack([np.asarray(o[0]) for o in out])
+    masks = np.stack([np.asarray(o[1]) for o in out])
     Ks = np.stack([K] * viewnum)
-    return np.asarray(imgs), np.asarray(masks), w2cs, Ks
+    return imgs, masks, w2cs, Ks
 
 
 # ---------------------------------------------------------------------------
