@@ -919,7 +919,7 @@ def _dist(vals):
 
 def run_seed_study(fit_config, n_seeds, num_verts, n_views, num_iters,
                    imsize, n_mask_views, contour_points,
-                   dtype_str="f64"):
+                   dtype_str="f64", seed_from=0):
     """N independent problems (seeds) fitted by BOTH engines; returns the
     per-engine quality distributions (VERDICT r3 items 3 and 5).
 
@@ -931,28 +931,49 @@ def run_seed_study(fit_config, n_seeds, num_verts, n_views, num_iters,
     the mask config; scan residual for SMPL+D) must overlap — the paired
     per-seed deltas must be small against the across-seed spread and
     carry no systematic sign.
+
+    ``seed_from`` runs seeds ``[seed_from, seed_from + n_seeds)`` so a
+    large study (the mask config is ~minutes of 1-CPU torch per seed)
+    can be accumulated across several processes; per-seed raw metrics
+    persist in parity_seeds.json and :func:`merge_seed_reports` rebuilds
+    the distributions over the union.
     """
     reports = []
-    for s in range(n_seeds):
+    for s in range(seed_from, seed_from + n_seeds):
         t0 = time.perf_counter()
         r = run_parity(num_verts, n_views, num_iters, seed=s,
                        dtype_str=dtype_str, fit_config=fit_config,
                        imsize=imsize, n_mask_views=n_mask_views,
                        contour_points=contour_points,
                        self_scatter=(fit_config == "smpld" and s == 0),
-                       light=(s > 0))
+                       light=(s > 0 or seed_from > 0))
+        r["seed"] = s
         print(f"[seed {s}] done in {time.perf_counter() - t0:.0f}s: "
               + json.dumps({k: v for k, v in r.items()
                             if isinstance(v, float)}), file=sys.stderr)
         reports.append(r)
 
+    return build_seed_study(
+        fit_config, dtype_str, num_verts, n_views, num_iters, reports
+    ), reports
+
+
+def build_seed_study(fit_config, dtype_str, num_verts, n_views,
+                     num_iters, reports):
+    """Distribution summaries + per-seed raw metrics for a seed set."""
+    reports = sorted(reports, key=lambda r: int(r.get("seed", 0)))
     study = {
         "config": fit_config,
         "dtype": dtype_str,
-        "n_seeds": n_seeds,
+        "n_seeds": len(reports),
         "num_verts": num_verts,
         "n_views": n_views,
         "num_iters": num_iters,
+        "per_seed": {
+            str(int(r.get("seed", 0))): {
+                k: v for k, v in r.items() if isinstance(v, (int, float))
+            } for r in reports
+        },
         "final_loss_jax": _dist([r["final_loss_jax"] for r in reports]),
         "final_loss_torch": _dist([r["final_loss_torch"] for r in reports]),
         "final_loss_rel_delta": _dist([
@@ -972,15 +993,45 @@ def run_seed_study(fit_config, n_seeds, num_verts, n_views, num_iters,
         study["scan_residual_delta_mm"] = _dist([
             r["scan_residual_jax_mm"] - r["scan_residual_torch_mm"]
             for r in reports])
-        r0 = reports[0]
-        if "scan_residual_torch_b_mm" in r0:
+        r0 = next(
+            (r for r in reports if int(r.get("seed", -1)) == 0), None
+        )
+        if r0 is not None and "scan_residual_torch_b_mm" in r0:
             study["seed0_self_scatter"] = {
                 k: r0[k] for k in (
                     "torch_self_scatter_mm", "disp_self_scatter_mm",
                     "scan_residual_torch_b_mm", "cross_surface_self_mm",
                 ) if k in r0
             }
-    return study, reports
+    return study
+
+
+def merge_seed_reports(fit_config, dtype_str, num_verts, n_views,
+                       num_iters, new_reports):
+    """Union the new per-seed reports with any stored ones for the SAME
+    problem (config + sizes + dtype) and rebuild the distributions, so a
+    20-seed study can be accumulated across chunked processes
+    (``--seed_from``).  A later run of an already-stored seed wins."""
+    store = os.path.join(os.path.dirname(__file__), "parity_seeds.json")
+    per = {}
+    if os.path.exists(store):
+        with open(store) as f:
+            rows = json.load(f)
+        old = rows.get(fit_config) or {}
+        if (old.get("per_seed")
+                and old.get("dtype") == dtype_str
+                and old.get("num_verts") == num_verts
+                and old.get("n_views") == n_views
+                and old.get("num_iters") == num_iters):
+            per = {int(k): v for k, v in old["per_seed"].items()}
+    for r in new_reports:
+        per[int(r["seed"])] = {
+            k: v for k, v in r.items() if isinstance(v, (int, float))
+        }
+    return build_seed_study(
+        fit_config, dtype_str, num_verts, n_views, num_iters,
+        list(per.values()),
+    )
 
 
 def write_seed_study_md(study):
@@ -1099,6 +1150,10 @@ def main():
                          "publish the per-engine quality distributions "
                          "(PARITY.md seed-distribution section); implies "
                          "the config's default scales unless overridden")
+    ap.add_argument("--seed_from", type=int, default=0, metavar="K",
+                    help="first seed of the chunk: runs seeds "
+                         "[K, K+N) and merges with the per-seed results "
+                         "already stored in parity_seeds.json")
     ap.add_argument("--smpld_shared_state", action="store_true",
                     help="SMPL+D stage-2 shared-state parity at FULL "
                          "SMPL-X scale (V=10475, ~83k-face scan) — the "
@@ -1149,9 +1204,14 @@ def main():
         return 0
 
     if args.seed_study:
-        study, seed_reports = run_seed_study(
+        _, seed_reports = run_seed_study(
             cfg, args.seed_study, nv, vw, it, ims, nmv, cp,
-            dtype_str=args.dtype,
+            dtype_str=args.dtype, seed_from=args.seed_from,
+        )
+        # verdict + persisted study are over the UNION of stored seeds
+        # for this problem and the chunk just run
+        study = merge_seed_reports(
+            cfg, args.dtype, nv, vw, it, seed_reports
         )
         print(json.dumps(study, indent=2), file=sys.stderr)
         if args.emit_report:
@@ -1179,7 +1239,7 @@ def main():
         else:
             ok = abs(study["final_loss_rel_delta"]["mean"]) < 0.05
         print(json.dumps({
-            "seed_study": cfg, "n_seeds": args.seed_study,
+            "seed_study": cfg, "n_seeds": study["n_seeds"],
             "quality_distributions_overlap": bool(ok),
         }))
         return 0 if ok else 1
