@@ -224,8 +224,18 @@ def nearest_points(
             nearest_point_on_mesh_pallas,
         )
 
+        # Detach the INPUTS, not just the outputs: under jax.grad the
+        # pallas_call would otherwise be traced with JVP tracers (pallas
+        # has no jvp rule -> NotImplementedError) even though the caller
+        # discards the tangents.  With zero-tangent inputs JAX evaluates
+        # the primal only, which is exactly the reference's disabled
+        # backward (utils/mesh_grid_searcher.py:17-49).
         pt, idx, _ = nearest_point_on_mesh_pallas(
-            points, verts, faces, face_block=face_block, tie_break=True
+            jax.lax.stop_gradient(points),
+            jax.lax.stop_gradient(verts),
+            faces,
+            face_block=face_block,
+            tie_break=True,
         )
     else:
         pt, idx, _ = nearest_point_on_mesh(

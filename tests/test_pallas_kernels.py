@@ -82,6 +82,34 @@ def test_nearest_pallas_tiebreak_on_shared_edge():
     assert int(idx[0]) == 0
 
 
+def test_nearest_pallas_grad_through_detached_query(mesh, rng):
+    """The exact in-fit mesh term differentiates an expression that
+    CONTAINS the pallas nearest call (loss = |points - closest|^2 with
+    closest detached, reference loss.py:240).  pallas_call has no jvp
+    rule, so `ops.nearest.nearest_points` must detach the kernel INPUTS
+    — this locks the fix for the on-chip NotImplementedError and checks
+    the gradient equals the XLA route's."""
+    verts, faces = mesh
+    points = jnp.asarray(
+        rng.normal(scale=1.5, size=(16, 3)).astype(np.float32)
+    )
+
+    def loss_pallas(p):
+        pt, _, _ = pk.nearest_point_on_mesh_pallas(
+            jax.lax.stop_gradient(p), jax.lax.stop_gradient(verts), faces,
+            query_tile=16, face_block=32, interpret=True, tie_break=True,
+        )
+        return jnp.sum((p - jax.lax.stop_gradient(pt)) ** 2)
+
+    def loss_xla(p):
+        pt, _ = nearest.nearest_points(p, verts, faces, face_block=16)
+        return jnp.sum((p - pt) ** 2)
+
+    g = jax.grad(loss_pallas)(points)
+    g_ref = jax.grad(loss_xla)(points)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
 def test_nearest_pallas_padding_cases(rng):
     # query & face counts that do NOT divide the tiles
     verts = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
