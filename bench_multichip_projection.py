@@ -107,6 +107,36 @@ def main(frames_per_device: int = 2, num_iters: int = 12):
     assert loss.shape == (B,) and np.isfinite(loss).all()
     print("sharded step executed ok; per-frame losses finite")
 
+    # No-hidden-serialization check: the same B-frame step compiled for
+    # ONE device vs sharded over all n_dev virtual devices.  All virtual
+    # devices share this host's single physical core, so total compute
+    # is identical; any sharded-path overhead (sync, layout shuffles,
+    # runtime scheduling) shows up directly as wall-clock excess.
+    import time
+
+    dev0 = jax.devices()[0]
+    step_1dev = jax.jit(step_vmapped, device=dev0)
+    compiled_1 = step_1dev.lower(params, opt_state, obs).compile()
+
+    def timed(fn, reps=5):
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(params, opt_state, obs))
+            walls.append(time.perf_counter() - t0)
+        return float(np.median(walls))
+
+    timed(compiled, reps=1)
+    timed(compiled_1, reps=1)
+    w_n = timed(compiled)
+    w_1 = timed(compiled_1)
+    print(
+        f"step wall, same {B}-frame work: 1 device {w_1*1e3:.1f} ms vs "
+        f"{n_dev}-device sharded {w_n*1e3:.1f} ms "
+        f"(ratio {w_n/w_1:.2f}; ~1.0 = no hidden serialization beyond "
+        f"compute on this 1-core host)"
+    )
+
     if total == 0:
         print(
             "PROJECTION: zero-collective frame-DP -> fits/s(n) = "
