@@ -143,6 +143,44 @@ def main():
         uv, fidx, _ = auto_rasterize_attrs(px, fz, scan_uv, cli.img)
         return uv.sum() + (fidx >= 0).sum()
 
+    # --- fused-raster glue attribution (r5): the fused raster is
+    # project + y-argsort + SoA pack + kernel inside lax.map; stage
+    # differences isolate each.  "packedmaps" is the production
+    # candidate: glue vmapped across the chunk (parallel XLA) with only
+    # the kernel left inside the sequential pose map.
+    from bodyfitting_tpu.ops.pallas_kernels import (
+        _raster_attr_pack, rasterize_attrs_prepacked,
+    )
+
+    def stage_proj(w2c, scan_v, scan_f, *_):
+        px, fz = rz.project_faces(scan_v, scan_f, w2c, K)
+        return px.sum() + fz.sum()
+
+    def stage_sort(w2c, scan_v, scan_f, *_):
+        px, fz = rz.project_faces(scan_v, scan_f, w2c, K)
+        order = jnp.argsort(px[:, :, 1].mean(axis=1))
+        return px.sum() + fz.sum() + order.sum()
+
+    def stage_pack(w2c, scan_v, scan_f, scan_uv, *_):
+        px, fz = rz.project_faces(scan_v, scan_f, w2c, K)
+        soa, blk_y, order = _raster_attr_pack(px, fz, scan_uv, 512)
+        return soa.sum() + blk_y.sum() + order.sum()
+
+    def packed_raster_chunk(w2cs, scan_v, scan_f, scan_uv):
+        """vmap the glue across poses, lax.map only the kernel."""
+        def glue(w2c):
+            px, fz = rz.project_faces(scan_v, scan_f, w2c, K)
+            soa, blk_y, _ = _raster_attr_pack(px, fz, scan_uv, 512)
+            return soa, blk_y
+
+        soas, blks = jax.vmap(glue)(w2cs)
+        return jax.lax.map(
+            lambda sb: rasterize_attrs_prepacked(
+                sb[0], sb[1], cli.img, n_attr=2
+            ),
+            (soas, blks),
+        )
+
     stages = [
         ("raster", stage_raster),
         ("+bary", stage_bary),
@@ -150,6 +188,9 @@ def main():
         ("+sample", stage_sample),
         ("scanrender", stage_scanrender),
         ("maps(full)", stage_maps),
+        ("proj", stage_proj),
+        ("+sort", stage_sort),
+        ("+pack", stage_pack),
         ("fusedraster", stage_fusedraster),
         ("maps(fused)", stage_maps_fused),
     ]
@@ -169,6 +210,21 @@ def main():
         results[name] = per
         print(f"  {name:12s} {per:7.1f} ms/pose  (launch {res.median:.3f}s,"
               f" compile {res.first:.0f}s)")
+
+    # packed-glue fused raster (not a per-pose lambda: the vmap spans the
+    # chunk, so it gets its own timed program)
+    f_packed = jax.jit(
+        lambda w2cs, *scn: sum(
+            x.sum() for x in packed_raster_chunk(w2cs, *scn[:3])
+        )
+    )
+
+    def run_packed(off):
+        float(f_packed(perturb(poses_j, off), *scene))
+
+    res_p = timed_launches(run_packed, warmups=2, runs=3)
+    print(f"  packedraster {res_p.median / cli.chunk * 1e3:7.1f} ms/pose  "
+          f"(launch {res_p.median:.3f}s, compile {res_p.first:.0f}s)")
 
     # plan build over the chunk (needs maps first, built once outside)
     maps_jit = jax.jit(

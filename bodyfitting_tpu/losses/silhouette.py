@@ -502,6 +502,142 @@ def _stay_inside_cov_crop(
     return s, cov
 
 
+# ---------------------------------------------------------------------------
+# Fused per-view mask term (crop path)
+# ---------------------------------------------------------------------------
+#
+# With the ICP and stay-inside terms as SEPARATE custom-vjp ops, the
+# projection cotangent is the SUM of two [.., M, 2] arrays built in
+# different native layouts (rows_scatter_add's [2, M].T vs the
+# stay-inside stack([gx, gy], -1)) plus a chain through xyhat = proj *
+# scale — XLA reconciles them with {0,2,1} relayouts inside the 600-iter
+# scan (BENCH_NOTES r5: ~1.7 ms/iter of the staged step was attributed
+# to neither term alone).  This op computes BOTH terms of one view in a
+# single custom vjp whose backward assembles the combined projection
+# cotangent once, with the scale chain folded in.  Values and gradients
+# are identical to the separate ops (same kernels, same algebra;
+# tests/test_silhouette.py pins both).
+
+# Trace-time switch like STAY_INSIDE: 'auto' = fused on TPU (the
+# separate ops remain the reference path and run everywhere else).
+FUSED_MASK_TERM = "auto"
+
+
+def _use_fused_mask_term() -> bool:
+    if FUSED_MASK_TERM == "fused":
+        return True
+    if FUSED_MASK_TERM == "separate":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _mask_view_terms_impl(proj, contour, cvalid, crop, origin, vvalid,
+                          imsize, epsilon, full_hw, with_grads):
+    from bodyfitting_tpu.ops.pallas_kernels import (
+        bilinear_cov_grads, contour_match_full,
+    )
+
+    interp = jax.default_backend() != "tpu"
+    H, W = full_hw
+    scale = jnp.asarray(
+        [(W - 1) / imsize, (H - 1) / imsize], proj.dtype
+    )
+    xyhat = proj * scale
+
+    # stay-inside: fused sampler on the content crop + closed-form
+    # coverage against the full image bounds (same ops as
+    # _stay_inside_sample_crop)
+    s, _, ds_dx, ds_dy, *_ = bilinear_cov_grads(
+        crop, xyhat - origin, interpret=interp, with_cov=False,
+        with_grads=with_grads,
+    )
+    cov, dc_dx, dc_dy = _coverage_and_grads(xyhat, full_hw)
+    binary = vvalid * jnp.sum(cov - s)
+
+    # contour ICP (same ops as _contour_matched_pallas + the mindist /
+    # epsilon-coefficient chain of per_view)
+    inside = (
+        (proj[:, 0] >= 0) & (proj[:, 0] < imsize)
+        & (proj[:, 1] >= 0) & (proj[:, 1] < imsize)
+    )
+    inside_f = inside.astype(proj.dtype)
+    _, idx, matched, in_match = contour_match_full(
+        contour, proj, inside_f, inside_f, interpret=interp
+    )
+    dist = jnp.sqrt(jnp.sum((contour - matched) ** 2, -1) + 1e-12)
+    live = in_match > 0.5
+    mindist = jnp.where(live, dist, 0.0)
+    mx = jnp.clip(matched[:, 0].astype(jnp.int32), 0, W - 1)
+    my = jnp.clip(matched[:, 1].astype(jnp.int32), 0, H - 1)
+    mxy = jnp.stack([mx, my], -1).astype(crop.dtype) - origin
+    mask_at = bilinear_cov_grads(
+        crop, mxy, interpret=interp, with_grads=False, with_cov=False
+    )[0]
+    outside_mask = (mask_at < 0.1).astype(proj.dtype)
+    coeff = outside_mask * (epsilon - 1.0) + 1.0
+    icp = jnp.sum(mindist * coeff * cvalid)
+
+    res = (idx, matched, contour, live, dist, coeff, cvalid, vvalid,
+           crop, origin, ds_dx, ds_dy, dc_dx, dc_dy, scale,
+           proj.shape[0])
+    return icp, binary, res
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _mask_view_terms_fused(proj, contour, cvalid, crop, origin, vvalid,
+                           imsize, epsilon, full_hw):
+    """(icp, binary) of ONE view's mask loss as a single custom-vjp op.
+
+    proj ``[M, 2]`` projected strided vertices (the only differentiable
+    input — contour/crop/origin/validities are observations and get zero
+    cotangents).  Reference semantics: loss.py:85-130 (ICP with the
+    epsilon outside-mask coefficient) + the stay-inside binary term.
+    """
+    icp, binary, _ = _mask_view_terms_impl(
+        proj, contour, cvalid, crop, origin, vvalid,
+        imsize, epsilon, full_hw, with_grads=False,
+    )
+    return icp, binary
+
+
+def _mask_view_terms_fwd(proj, contour, cvalid, crop, origin, vvalid,
+                         imsize, epsilon, full_hw):
+    icp, binary, res = _mask_view_terms_impl(
+        proj, contour, cvalid, crop, origin, vvalid,
+        imsize, epsilon, full_hw, with_grads=True,
+    )
+    return (icp, binary), res
+
+
+def _mask_view_terms_bwd(imsize, epsilon, full_hw, res, g):
+    from bodyfitting_tpu.ops.pallas_kernels import rows_scatter_add
+
+    (idx, matched, contour, live, dist, coeff, cvalid, vvalid,
+     crop, origin, ds_dx, ds_dy, dc_dx, dc_dy, scale, M) = res
+    g_icp, g_binary = g
+
+    # d icp / d matched, scattered to the winning vertices ([2, M] rows
+    # — consumed as rows, never transposed)
+    w = jnp.where(live, g_icp * coeff * cvalid / dist, 0.0)
+    g_matched = w[:, None] * (matched - contour)            # [P, 2]
+    d2 = rows_scatter_add(
+        idx, g_matched, M,
+        interpret=jax.default_backend() != "tpu",
+    )                                                       # [2, M]
+
+    # d binary / d proj (scale chain folded in)
+    gb = g_binary * vvalid
+    gx = d2[0] + gb * (dc_dx - ds_dx) * scale[0]
+    gy = d2[1] + gb * (dc_dy - ds_dy) * scale[1]
+    dproj = jnp.stack([gx, gy], axis=-1)                    # [M, 2] once
+
+    z = jnp.zeros_like
+    return (dproj, z(contour), z(cvalid), z(crop), z(origin), z(vvalid))
+
+
+_mask_view_terms_fused.defvjp(_mask_view_terms_fwd, _mask_view_terms_bwd)
+
+
 def compute_mask_crops(
     masks: Sequence[np.ndarray],
     crop_hw: tuple | None = None,
@@ -639,6 +775,15 @@ def silhouette_loss(
         proj = perspective_projection(
             pts3d[None], w2c[None, :3, :3], w2c[None, :3, 3], K[None]
         )[0]                                               # [M, 2]
+        if (use_crops and set(terms) == {"icp", "binary"}
+                and _use_pallas_stay_inside() and _use_pallas_match()
+                and _use_fused_mask_term()):
+            # both terms in ONE custom vjp: the combined projection
+            # cotangent is assembled once (see _mask_view_terms_fused)
+            return _mask_view_terms_fused(
+                proj, contour, cvalid, crop, origin, vvalid,
+                imsize, float(epsilon), tuple(full_hw),
+            )
         inside = (
             (proj[:, 0] >= 0) & (proj[:, 0] < imsize)
             & (proj[:, 1] >= 0) & (proj[:, 1] < imsize)

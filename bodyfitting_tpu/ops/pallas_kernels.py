@@ -714,34 +714,16 @@ def _raster_attr_kernel(tile_y_ref, blk_y_ref, pix_x_ref, pix_y_ref,
         )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("image_size", "pixel_tile", "face_block",
-                              "interpret", "remap_faces")
-)
-def rasterize_attrs_pallas(
-    face_px: jax.Array,
-    face_z: jax.Array,
-    face_attrs: jax.Array,
-    image_size: int,
-    pixel_tile: int = 1024,
-    face_block: int = 512,
-    interpret: bool = False,
-    remap_faces: bool = False,
-):
-    """Fused z-buffer + perspective-correct attribute interpolation.
+def _raster_attr_pack(face_px, face_z, face_attrs, face_block):
+    """Per-pose glue of the fused raster: y-sort + SoA pack + block AABBs.
 
-    Args:
-      face_px: ``[F, 3, 2]`` screen coords; face_z ``[F, 3]`` camera z.
-      face_attrs: ``[F, 3, A]`` per-corner attributes (e.g. UVs, A=2).
-      remap_faces: map ``face_idx`` back to caller face numbering (one
-        per-pixel gather); leave False when only coverage is needed.
-    Returns ``(attrs [H, W, A], face_idx [H, W], depth [H, W])`` with
-    attrs == 0 and face_idx == -1 at background pixels.  Matches
-    ``rasterize`` + ``render_attributes`` up to ~1e-6 (the in-kernel
-    perspective weights multiply by the winning depth instead of
-    normalising; tests pin the tolerance in interpret mode).
+    Split out of :func:`rasterize_attrs_pallas` so multi-pose callers
+    (fitting/texture.py map builds) can batch the glue across poses
+    (``jax.vmap``) and stream the packed operands through
+    :func:`rasterize_attrs_prepacked`.  Returns
+    ``(soa [rows8, fb*face_block], blk_y [fb, 2], order [F])`` with
+    ``rows8 = 8-ceil(10 + 3A)`` and faces y-centroid-sorted.
     """
-    H = W = image_size
     F = face_px.shape[0]
     A = int(face_attrs.shape[-1])
     fb = _cdiv(F, face_block)
@@ -787,12 +769,38 @@ def rasterize_attrs_pallas(
         ],
         axis=1,
     ).astype(face_px.dtype)
+    return soa, blk_y, order
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "n_attr", "pixel_tile",
+                              "interpret")
+)
+def rasterize_attrs_prepacked(
+    soa: jax.Array,
+    blk_y: jax.Array,
+    image_size: int,
+    n_attr: int,
+    pixel_tile: int = 1024,
+    interpret: bool = False,
+):
+    """Fused raster on PREPACKED operands (:func:`_raster_attr_pack`).
+
+    Returns ``(attrs [H, W, A], face_idx [H, W], depth [H, W])`` with
+    ``face_idx`` in the packed (y-sorted) numbering — apply the pack's
+    ``order`` to recover caller face ids when needed.
+    """
+    H = W = image_size
+    A = int(n_attr)
+    rows8 = soa.shape[0]
+    fb = blk_y.shape[0]
+    face_block = soa.shape[1] // fb
 
     P = H * W
     pt = _cdiv(P, pixel_tile)
     ppad = pt * pixel_tile - P
-    ys = jnp.repeat(jnp.arange(H, dtype=face_px.dtype), W) + 0.5
-    xs = jnp.tile(jnp.arange(W, dtype=face_px.dtype), H) + 0.5
+    ys = jnp.repeat(jnp.arange(H, dtype=soa.dtype), W) + 0.5
+    xs = jnp.tile(jnp.arange(W, dtype=soa.dtype), H) + 0.5
     if ppad:
         xs = jnp.concatenate([xs, jnp.full((ppad,), -1e6, xs.dtype)])
         ys = jnp.concatenate([ys, jnp.full((ppad,), -1e6, ys.dtype)])
@@ -802,7 +810,7 @@ def rasterize_attrs_pallas(
             ys.reshape(pt, pixel_tile).max(1),
         ],
         axis=1,
-    ).astype(face_px.dtype)
+    ).astype(soa.dtype)
     xs = xs[:, None]
     ys = ys[:, None]
 
@@ -814,7 +822,7 @@ def rasterize_attrs_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((pixel_tile, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows + rpad, face_block), lambda i, j, *_: (0, j),
+            pl.BlockSpec((rows8, face_block), lambda i, j, *_: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -830,22 +838,59 @@ def rasterize_attrs_pallas(
         functools.partial(_raster_attr_kernel, n_attr=A),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((pt * pixel_tile, 1), face_px.dtype),
+            jax.ShapeDtypeStruct((pt * pixel_tile, 1), soa.dtype),
             jax.ShapeDtypeStruct((pt * pixel_tile, 1), jnp.int32),
-            jax.ShapeDtypeStruct((pt * pixel_tile, A), face_px.dtype),
+            jax.ShapeDtypeStruct((pt * pixel_tile, A), soa.dtype),
         ],
         interpret=interpret,
     )(tile_y, blk_y, xs, ys, soa)
-    fidx = fidx[:P, 0].reshape(H, W)
+    return (
+        attr[:P].reshape(H, W, A),
+        fidx[:P, 0].reshape(H, W),
+        depth[:P, 0].reshape(H, W),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "pixel_tile", "face_block",
+                              "interpret", "remap_faces")
+)
+def rasterize_attrs_pallas(
+    face_px: jax.Array,
+    face_z: jax.Array,
+    face_attrs: jax.Array,
+    image_size: int,
+    pixel_tile: int = 1024,
+    face_block: int = 512,
+    interpret: bool = False,
+    remap_faces: bool = False,
+):
+    """Fused z-buffer + perspective-correct attribute interpolation.
+
+    Args:
+      face_px: ``[F, 3, 2]`` screen coords; face_z ``[F, 3]`` camera z.
+      face_attrs: ``[F, 3, A]`` per-corner attributes (e.g. UVs, A=2).
+      remap_faces: map ``face_idx`` back to caller face numbering (one
+        per-pixel gather); leave False when only coverage is needed.
+    Returns ``(attrs [H, W, A], face_idx [H, W], depth [H, W])`` with
+    attrs == 0 and face_idx == -1 at background pixels.  Matches
+    ``rasterize`` + ``render_attributes`` up to ~1e-6 (the in-kernel
+    perspective weights multiply by the winning depth instead of
+    normalising; tests pin the tolerance in interpret mode).
+    """
+    A = int(face_attrs.shape[-1])
+    soa, blk_y, order = _raster_attr_pack(
+        face_px, face_z, face_attrs, face_block
+    )
+    attr, fidx, depth = rasterize_attrs_prepacked(
+        soa, blk_y, image_size, n_attr=A, pixel_tile=pixel_tile,
+        interpret=interpret,
+    )
     if remap_faces:
         fidx = jnp.where(
             fidx >= 0, order.astype(jnp.int32)[jnp.maximum(fidx, 0)], -1
         )
-    return (
-        attr[:P].reshape(H, W, A),
-        fidx,
-        depth[:P, 0].reshape(H, W),
-    )
+    return attr, fidx, depth
 
 
 def rasterize_attrs_xla(face_px, face_z, face_attrs, image_size,

@@ -176,6 +176,71 @@ def test_build_observations_mask_crop(two_masks):
         )
 
 
+def test_fused_view_term_matches_separate(two_masks, rng):
+    """The single-custom-vjp fused view term (r5: one combined projection
+    cotangent instead of the ICP/stay-inside pair) must reproduce the
+    separate pallas ops' value and gradient exactly (same kernels, same
+    algebra — only the cotangent assembly differs)."""
+    verts = jnp.asarray(rng.normal(size=(300, 3)).astype(np.float32) * 0.5)
+    old = sil.FUSED_MASK_TERM
+    try:
+        sil.FUSED_MASK_TERM = "separate"
+        ls, gs = _loss_pair(two_masks, verts, "pallas", use_crop=True)
+        sil.FUSED_MASK_TERM = "fused"
+        lf, gf = _loss_pair(two_masks, verts, "pallas", use_crop=True)
+    finally:
+        sil.FUSED_MASK_TERM = old
+    np.testing.assert_allclose(float(lf), float(ls), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gf), np.asarray(gs),
+        atol=2e-6 * max(1e-30, float(jnp.max(jnp.abs(gs)))),
+    )
+
+
+def test_fused_view_term_padded_view_inert(two_masks, rng):
+    """mask_view_valid=0 must zero a padded view's binary term in the
+    fused path too (its ICP rows are zeroed by contour_valid)."""
+    verts = jnp.asarray(rng.normal(size=(300, 3)).astype(np.float32) * 0.5)
+    old = sil.FUSED_MASK_TERM
+    crops, origins, (Hc, Wc) = sil.compute_mask_crops(list(two_masks))
+    contours, valid = sil.extract_contours(list(two_masks))
+    rc, rw = sil.resample_contours(contours, valid, 64)
+    H = two_masks.shape[1]
+    K = jnp.array([[100.0, 0, 64], [0, 100.0, 64], [0, 0, 1]])
+
+    def loss(n_views, vvalid):
+        w2cs = jnp.broadcast_to(
+            jnp.eye(4).at[2, 3].set(2.0), (n_views, 4, 4)
+        )
+        Ks = jnp.broadcast_to(K, (n_views, 3, 3))
+        return float(sil.silhouette_loss(
+            jnp.asarray(rc[:n_views]), jnp.asarray(rw[:n_views]), None,
+            w2cs, Ks, verts, imsize=float(H), vertex_stride=1,
+            mask_crops=jnp.asarray(crops[:n_views]),
+            mask_crop_origins=jnp.asarray(origins[:n_views]),
+            mask_view_valid=jnp.asarray(vvalid),
+            full_hw=(H, H),
+        ))
+
+    try:
+        sil.STAY_INSIDE = "pallas"
+        sil.CONTOUR_MATCH = "pallas"
+        sil.FUSED_MASK_TERM = "fused"
+        one = loss(1, [1.0])
+        both = loss(2, [1.0, 0.0])
+        # view 2's stay-inside term is zeroed; its ICP term survives only
+        # through contour_valid rows, which are real here — so compare
+        # against the separate computation of the same 2-view setup
+        sil.FUSED_MASK_TERM = "separate"
+        both_sep = loss(2, [1.0, 0.0])
+    finally:
+        sil.FUSED_MASK_TERM = old
+        sil.STAY_INSIDE = "auto"
+        sil.CONTOUR_MATCH = "auto"
+    np.testing.assert_allclose(both, both_sep, rtol=1e-6)
+    assert both != one  # the second view's ICP rows still count
+
+
 def test_with_cov_false_kernel_matches(rng):
     from bodyfitting_tpu.ops.pallas_kernels import bilinear_cov_grads
 
