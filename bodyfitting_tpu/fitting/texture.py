@@ -68,6 +68,13 @@ class TextureFitConfig:
     # pipelines the 128 launches); kept because it cuts the launch count
     # 32x and replaces the 128-way per-pose restack with 4 concats.
     map_chunk: int = 32
+    # precompute mode: vmap the fused raster's per-pose glue (project +
+    # y-sort + SoA pack, ops/pallas_kernels._raster_attr_pack) across the
+    # whole chunk so XLA parallelises it, leaving only the Pallas kernel
+    # launches inside the sequential lax.map (bench_texfit_maps
+    # "packedraster" stage).  Same values as the unpacked path (the pack
+    # is the same function, pinned by tests/test_texture_precompute.py).
+    packed_glue: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -387,7 +394,8 @@ def fit_texture(
             [uniq_poses, jnp.repeat(uniq_poses[-1:], pad, axis=0)]
         ) if pad else uniq_poses
 
-        maps_jit = _maps_program(config.render_img_size, config.face_block)
+        maps_jit = _maps_program(config.render_img_size, config.face_block,
+                                 packed=config.packed_glue)
         scene = (scan_verts_j, scan_faces_j, scan_face_uvs_j,
                  scan_texture_j, smpl_verts, smpl_faces, smpl_face_uvs)
         chunks = [
@@ -431,7 +439,7 @@ def fit_texture(
 
 
 @functools.lru_cache(maxsize=None)
-def _maps_program(img_size: int, face_block: int):
+def _maps_program(img_size: int, face_block: int, packed: bool = False):
     """Jitted chunked unique-pose map build, cached per static config.
 
     Both rasters run the FUSED attr kernel (per-pixel UVs interpolated
@@ -443,7 +451,48 @@ def _maps_program(img_size: int, face_block: int):
     embed tens of MB of constants — the remote-compile tunnel rejects
     huge programs, CLAUDE.md).
     """
-    from bodyfitting_tpu.ops.pallas_kernels import auto_rasterize_attrs
+    from bodyfitting_tpu.ops.pallas_kernels import (
+        _raster_attr_pack,
+        auto_rasterize_attrs,
+        rasterize_attrs_prepacked,
+    )
+
+    if packed:
+        # packed_glue: one vmapped pass builds EVERY pose's SoA-packed
+        # operands (project + y-sort + pack runs as parallel XLA over the
+        # chunk), then the sequential lax.map holds only the two Pallas
+        # kernel launches + texture sampling per pose.
+        fb = max(face_block, 512)
+        interp = jax.default_backend() != "tpu"
+
+        def prog(poses, K, scan_v, scan_f, scan_uv, scan_t,
+                 smpl_v, smpl_f, smpl_uv):
+            def glue(w2c):
+                s_px, s_fz = rz.project_faces(scan_v, scan_f, w2c, K)
+                s_soa, s_blk, _ = _raster_attr_pack(s_px, s_fz, scan_uv,
+                                                    fb)
+                px, fz = rz.project_faces(smpl_v, smpl_f, w2c, K)
+                soa, blk, _ = _raster_attr_pack(px, fz, smpl_uv, fb)
+                return s_soa, s_blk, soa, blk
+
+            packed_ops = jax.vmap(glue)(poses)
+
+            def kern(ops):
+                s_soa, s_blk, soa, blk = ops
+                s_uv, s_fidx, _ = rasterize_attrs_prepacked(
+                    s_soa, s_blk, img_size, n_attr=2, interpret=interp
+                )
+                scan_img = rz.sample_texture_uvmap(
+                    s_uv, s_fidx >= 0, scan_t, background=1.0
+                )
+                uv_map, fidx, _ = rasterize_attrs_prepacked(
+                    soa, blk, img_size, n_attr=2, interpret=interp
+                )
+                return scan_img, uv_map, fidx >= 0
+
+            return jax.lax.map(kern, packed_ops)
+
+        return jax.jit(prog)
 
     def maps_for_pose(w2c, K, scan_v, scan_f, scan_uv, scan_t,
                       smpl_v, smpl_f, smpl_uv):
