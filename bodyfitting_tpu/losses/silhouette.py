@@ -518,17 +518,20 @@ def _stay_inside_cov_crop(
 # are identical to the separate ops (same kernels, same algebra;
 # tests/test_silhouette.py pins both).
 
-# Trace-time switch like STAY_INSIDE: 'auto' = fused on TPU (the
-# separate ops remain the reference path and run everywhere else).
+# Trace-time switch like STAY_INSIDE: 'auto' = the SEPARATE ops (the
+# reference path) everywhere — the fused op measured NEUTRAL at the
+# production 3b shape (15.24 vs 15.06 ms/iter fused-vs-separate, same
+# session, B=32; BENCH_NOTES round-5 kernel study): XLA was already
+# reconciling the two cotangent layouts for free, so the single-
+# cotangent rewrite buys nothing in-fit.  The op stays in-tree,
+# parity-tested, selectable with FUSED_MASK_TERM = 'fused'.
 FUSED_MASK_TERM = "auto"
 
 
 def _use_fused_mask_term() -> bool:
     if FUSED_MASK_TERM == "fused":
         return True
-    if FUSED_MASK_TERM == "separate":
-        return False
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def _mask_view_terms_impl(proj, contour, cvalid, crop, origin, vvalid,
