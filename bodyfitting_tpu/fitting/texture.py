@@ -74,6 +74,9 @@ class TextureFitConfig:
     # launches inside the sequential lax.map (bench_texfit_maps
     # "packedraster" stage).  Same values as the unpacked path (the pack
     # is the same function, pinned by tests/test_texture_precompute.py).
+    # Measured NEUTRAL end-to-end at the 5b schedule (7.32s vs 7.60s
+    # interleaved medians, BENCH_NOTES round-5): async dispatch already
+    # overlaps the glue, so this stays off by default.
     packed_glue: bool = False
 
 
